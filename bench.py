@@ -1,0 +1,111 @@
+"""Benchmark driver: single-chip Q4_0 decode throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+``vs_baseline`` is the fraction of the weight-load-bound speed of light
+(tokens/s at full HBM bandwidth streaming the packed Q4_0 weight bytes once
+per token — the roofline the BASELINE.md north star is phrased against;
+>=0.90 is the target).  The reference publishes no numbers (BASELINE.md), so
+the roofline is the honest denominator.
+
+Weights are synthetic (random nibbles/scales generated on device — numerics
+don't matter for bandwidth measurements; correctness is covered by tests/).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
+
+
+def build_synthetic_q4_0_params(cfg):
+    """Random Q4_0 params created directly on device (no host transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.formats.ggml import expected_tensor_shapes
+    from llama_swift_tpu.formats.quant import Q4_0Tensor
+
+    key = jax.random.PRNGKey(0)
+    tensors = {}
+    total_bytes = 0
+    for name, shape in expected_tensor_shapes(cfg).items():
+        key, k1, k2 = jax.random.split(key, 3)
+        if len(shape) == 1:
+            tensors[name] = jnp.ones(shape, jnp.float32)
+            total_bytes += shape[0] * 4
+        else:
+            rows, cols = shape
+            qs = jax.random.randint(
+                k1, (rows, cols // 2), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8)
+            scales = jax.random.uniform(
+                k2, (rows, cols // 32), jnp.float32, 0.001, 0.01
+            )
+            tensors[name] = Q4_0Tensor(scales=scales, qs=qs)
+            total_bytes += rows * cols // 2 + rows * (cols // 32) * 4
+    return tensors, total_bytes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="7b", choices=["tiny", "1b", "7b", "13b"])
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.config import GGMLType, ModelConfig
+    from llama_swift_tpu.models import llama as model_lib
+
+    sizes = {
+        "tiny": dict(n_embd=512, n_head=8, n_layer=4, n_vocab=32000, n_mult=256),
+        "1b": dict(n_embd=2048, n_head=16, n_layer=16, n_vocab=32000, n_mult=256),
+        "7b": dict(n_embd=4096, n_head=32, n_layer=32, n_vocab=32000, n_mult=256),
+        "13b": dict(n_embd=5120, n_head=40, n_layer=40, n_vocab=32000, n_mult=256),
+    }
+    cfg = ModelConfig(
+        ftype=GGMLType.Q4_0, n_ctx=args.n_ctx, n_rot=64,
+        compute_dtype="float32", quantize_activations=True,
+        **sizes[args.size],
+    )
+
+    tensors, weight_bytes = build_synthetic_q4_0_params(cfg)
+    params = model_lib.params_from_tensors(tensors, cfg, param_dtype=jnp.float32)
+    cache = model_lib.init_cache(cfg, dtype=jnp.float32)
+
+    token = jnp.asarray(7, dtype=jnp.int32)
+    # warmup/compile
+    logits, cache = model_lib.decode_step(params, token, jnp.int32(0), cache, cfg)
+    logits.block_until_ready()
+
+    n_past = 1
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        logits, cache = model_lib.decode_step(
+            params, token, jnp.int32(n_past), cache, cfg
+        )
+        n_past += 1
+    logits.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    tok_per_s = args.steps / dt
+    sol_tok_per_s = args.hbm_gbps * 1e9 / weight_bytes
+    result = {
+        "metric": f"decode_tok_per_s_{args.size}_q4_0_batch1",
+        "value": round(tok_per_s, 3),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,253 @@
+"""Functional LLaMA forward pass — the TPU-native replacement for
+``llama_eval`` (``Sources/llamaObjCxx/bridge/LlamaPredictOperation.mm:510-735``).
+
+Where the reference rebuilds a ~1000-node ggml graph per token and executes
+it with a fork-join pthread pool (``ggml.c:9109-9555``), here the whole step
+is ONE traced-and-compiled XLA program: ``prefill`` (N tokens) and
+``decode_step`` (1 token) are jitted once per shape bucket and reused for the
+entire generation.  The KV cache is a preallocated dense array updated with
+``lax.dynamic_update_slice`` — the analogue of the reference's strided
+``ggml_view_1d`` + ``ggml_cpy`` writes at offset ``(il*n_ctx + n_past)``
+(``LlamaPredictOperation.mm:585-591``), except keys are stored POST-rope
+(mathematically identical to the reference's in-place mode-1 rope on the
+cache view — see ``ops/rope.py``).
+
+Graph parity, op for op (``LlamaPredictOperation.mm:558-712``):
+  tok_embedding get_rows → per layer [ norm·attention_norm → wq/wk/wv →
+  KV store → rope(Q)/rope(K) → K·Qᵀ → ·1/√d → causal mask(n_past) → softmax →
+  ·V → wo → +residual → norm·ffn_norm → silu(w1·x)·(w3·x) → w2 → +residual ]
+  → final norm·norm → output matmul.
+
+Numerics notes (SURVEY.md §7): norm is the mean-centered ``ggml_norm``
+variant by default; quantized matmuls fake-quantize activations to match the
+int4×int4 dot; silu/softmax/exp are exact f32 instead of the reference's
+64K-entry fp16 LUTs (``ggml.c:2376-2394``) — an accepted Δ in the parity
+budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..formats.ggml import GGMLModelFile
+from ..formats.quant import Q4_0Tensor, Q4_1Tensor
+from ..ops import quantized_matmul as qmm
+from ..ops.norms import norm
+from ..ops.rope import rope
+
+Params = dict
+Cache = dict
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+LAYER_WEIGHTS = (
+    "attention_norm", "wq", "wk", "wv", "wo", "ffn_norm", "w1", "w2", "w3",
+)
+
+
+def params_from_tensors(
+    tensors: dict, cfg: ModelConfig, *, param_dtype: Optional[Any] = None
+) -> Params:
+    """Arrange loader output (``formats/ggml.py``) into the model pytree.
+
+    Dense f16/f32 weights are cast to ``param_dtype`` (default: keep f32 as
+    f32; f16 → bf16 on TPU, f32 elsewhere); quantized tensors stay packed.
+    Norm weights are always f32 (they are 1-D f32 in the file,
+    ``convert-pth-to-ggml.py:154-159``).
+    """
+    if param_dtype is None:
+        param_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    def cvt(a):
+        if isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
+            return jax.tree_util.tree_map(jnp.asarray, a)
+        a = np.asarray(a)
+        if a.ndim == 1:
+            return jnp.asarray(a, dtype=jnp.float32)
+        return jnp.asarray(a, dtype=param_dtype)
+
+    params: Params = {
+        "tok_embeddings": cvt(tensors["tok_embeddings.weight"]),
+        "norm": cvt(tensors["norm.weight"]),
+        "output": cvt(tensors["output.weight"]),
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"layers.{i}."
+        layer = {}
+        for w in LAYER_WEIGHTS:
+            key = (
+                p + ("attention." + w + ".weight" if w in ("wq", "wk", "wv", "wo")
+                     else "feed_forward." + w + ".weight" if w in ("w1", "w2", "w3")
+                     else w + ".weight")
+            )
+            layer[w] = cvt(tensors[key])
+        params["layers"].append(layer)
+    return params
+
+
+def params_from_file(model: GGMLModelFile, *, param_dtype=None) -> Params:
+    return params_from_tensors(model.tensors, model.config, param_dtype=param_dtype)
+
+
+def random_params(
+    cfg: ModelConfig, seed: int = 0, scale: float = 0.05, dtype=np.float32
+) -> dict:
+    """Random numpy weights in loader-tensor naming, for tests/fixtures."""
+    from ..formats.ggml import expected_tensor_shapes
+
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, shape in expected_tensor_shapes(cfg).items():
+        if len(shape) == 1:
+            out[name] = (1.0 + scale * rng.standard_normal(shape)).astype(np.float32)
+        else:
+            out[name] = (scale * rng.standard_normal(shape)).astype(dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_cache(cfg: ModelConfig, dtype=jnp.float32, batch: Optional[int] = None) -> Cache:
+    """Dense per-sequence KV cache [L, n_ctx, H, Dh] (k stored post-rope).
+
+    Replaces the reference's two 1-D f32 tensors of n_layer*n_ctx*n_embd
+    elements (``LlamaPredictOperation.mm:289-304``).  ``batch`` adds a
+    leading axis for vmapped use.
+    """
+    shape = (cfg.n_layer, cfg.n_ctx, cfg.n_head, cfg.head_dim)
+    if batch is not None:
+        shape = (batch,) + shape
+    return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
+    """Causal attention over the full cache buffer.
+
+    q: [N, H, Dh]; keys/values: [n_ctx, H, Dh].  Allowed keys for query i:
+    j <= n_past + i — exactly ``ggml_diag_mask_inf(KQ_scaled, n_past)``
+    (``ggml.c:6921-6981``); slots beyond the high-water mark are never
+    attended, so stale cache contents are harmless.
+    """
+    N = q.shape[0]
+    d = q.shape[-1]
+    scale = 1.0 / np.sqrt(float(d))  # 1/sqrt(n_embd/n_head), .mm:620
+    scores = jnp.einsum(
+        "nhd,jhd->hnj", q.astype(jnp.float32), keys.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (N, n_ctx), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (N, n_ctx), 1)
+    allowed = j_idx <= (n_past + i_idx)
+    scores = jnp.where(allowed[None, :, :], scores, -jnp.inf)
+    # softmax with max-subtraction (ggml.c:6982-7050), exact exp
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    ctx = jnp.einsum(
+        "hnj,jhd->nhd", p, values.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return ctx.astype(compute_dtype)
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [N] int32 (may include right-padding)
+    n_past: jnp.ndarray,  # scalar int32: tokens already in the cache
+    cache: Cache,
+    cfg: ModelConfig,
+) -> tuple[jnp.ndarray, Cache]:
+    """One evaluation over N token slots starting at position ``n_past``.
+
+    Returns (logits [N, n_vocab] f32, updated cache).  Pure & jittable; the
+    caller slices the logits row it needs (the reference copies only the last
+    row, ``LlamaPredictOperation.mm:724-725``; perplexity needs all rows).
+    """
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    N = tokens.shape[0]
+    lin = functools.partial(
+        qmm.linear,
+        quantize_activations=cfg.quantize_activations,
+        compute_dtype=compute_dtype,
+    )
+    positions = n_past + jnp.arange(N, dtype=jnp.int32)
+
+    x = qmm.embedding_lookup(tokens, params["tok_embeddings"], compute_dtype=compute_dtype)
+
+    new_k, new_v = [], []
+    for il in range(cfg.n_layer):
+        layer = params["layers"][il]
+        # attention block
+        h = norm(x, layer["attention_norm"], cfg.norm_type, cfg.norm_eps)
+        q = lin(h, layer["wq"]).reshape(N, cfg.n_head, cfg.head_dim)
+        k = lin(h, layer["wk"]).reshape(N, cfg.n_head, cfg.head_dim)
+        v = lin(h, layer["wv"]).reshape(N, cfg.n_head, cfg.head_dim)
+        # rope over the full head dim (eval recomputes n_rot = n_embd/n_head,
+        # .mm:528, ignoring the file's n_rot field)
+        q = rope(q, positions, cfg.head_dim)
+        k = rope(k, positions, cfg.head_dim)
+        keys = jax.lax.dynamic_update_slice(
+            cache["k"][il], k.astype(cache["k"].dtype), (n_past, 0, 0)
+        )
+        values = jax.lax.dynamic_update_slice(
+            cache["v"][il], v.astype(cache["v"].dtype), (n_past, 0, 0)
+        )
+        new_k.append(keys)
+        new_v.append(values)
+        ctx = _attention(q, keys, values, n_past, cfg.n_ctx, compute_dtype)
+        x = x + lin(ctx.reshape(N, cfg.n_embd), layer["wo"])
+        # feed-forward block: silu(w1·h) * (w3·h) → w2   (.mm:658-684)
+        h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
+        gate = jax.nn.silu(lin(h, layer["w1"]).astype(jnp.float32)).astype(compute_dtype)
+        x = x + lin(gate * lin(h, layer["w3"]), layer["w2"])
+
+    x = norm(x, params["norm"], cfg.norm_type, cfg.norm_eps)
+    logits = lin(x, params["output"]).astype(jnp.float32)
+    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params, tokens, n_past, cache, cfg: ModelConfig):
+    """Process a (padded) prompt chunk; returns (all logits, cache)."""
+    return forward(params, tokens, n_past, cache, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(params, token, n_past, cache, cfg: ModelConfig):
+    """Single-token decode; returns (logits [n_vocab], cache)."""
+    logits, cache = forward(params, token[None], n_past, cache, cfg)
+    return logits[0], cache
+
+
+def pad_tokens(ids: list[int], multiple: int) -> tuple[np.ndarray, int]:
+    """Right-pad a token list to a shape bucket (pad id 0); returns
+    (padded [P] i32, true length)."""
+    n = len(ids)
+    p = max(multiple, ((n + multiple - 1) // multiple) * multiple)
+    out = np.zeros(p, dtype=np.int32)
+    out[:n] = ids
+    return out, n

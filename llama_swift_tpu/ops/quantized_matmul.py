@@ -1,0 +1,178 @@
+"""Quantized linear ops: `y = x @ W.T` for dense, Q4_0 and Q4_1 weights.
+
+Replaces the reference's quantized matmul path (``ggml_compute_forward_mul_mat_q4_0_f32``,
+``Sources/cpp/ggml.c:5987-6285``) whose inner loop is ``ggml_vec_dot_q4_0``
+(``ggml.c:1296-1582``).  Parity-relevant semantics (SURVEY.md §7 #2):
+
+* the reference quantizes the *activations* to Q4_0 as well (INIT phase,
+  ``ggml.c:6134-6151``) and dots int4×int4, scaling by the product of block
+  scales.  In exact arithmetic that equals dequantizing both operands and
+  taking an f32 dot; we replicate it as a fake-quant of the activation rows
+  (:func:`fake_quantize_q4_0`) followed by an f32 matmul, so the MXU does the
+  FLOPs.  Controlled by ``ModelConfig.quantize_activations``.
+* rounding: canonical round-half-away-from-zero (the reference's scalar
+  path; its NEON/AVX2 paths differ on ties — SURVEY.md §7 #3).
+
+Here: a reference jnp implementation that works on any backend (and is what
+XLA fuses on CPU tests).  The fused Pallas kernel that reads the packed
+nibbles straight from HBM lives in ``q4_matmul_pallas.py`` and is selected
+automatically on TPU.
+
+Q4_0/Q4_1 tensors are registered as jax pytrees so they can live inside
+jit-ted param trees and be sharded with ``NamedSharding`` like any leaf.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QK
+from ..formats.quant import Q4_0Tensor, Q4_1Tensor
+
+# ---------------------------------------------------------------------------
+# pytree registration
+# ---------------------------------------------------------------------------
+
+jax.tree_util.register_pytree_node(
+    Q4_0Tensor,
+    lambda t: ((t.scales, t.qs), None),
+    lambda _, leaves: Q4_0Tensor(*leaves),
+)
+jax.tree_util.register_pytree_node(
+    Q4_1Tensor,
+    lambda t: ((t.mins, t.scales, t.qs), None),
+    lambda _, leaves: Q4_1Tensor(*leaves),
+)
+
+
+def round_half_away_jnp(v: jnp.ndarray) -> jnp.ndarray:
+    """C ``round()`` semantics on device (``ggml.c:588``)."""
+    return jnp.trunc(v + jnp.where(v >= 0, 0.5, -0.5))
+
+
+def fake_quantize_q4_0(x: jnp.ndarray) -> jnp.ndarray:
+    """Quantize-dequantize activation rows through Q4_0, replicating the
+    INIT-phase ``quantize_row_q4_0`` (scalar semantics) of the reference's
+    quantized matmul (``ggml.c:6134-6151``).
+
+    x: [..., k] with k % 32 == 0.  Returns same-shape f32.
+    """
+    shape = x.shape
+    xf = x.astype(jnp.float32).reshape(shape[:-1] + (shape[-1] // QK, QK))
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    d = amax / 7.0
+    inv_d = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    q = round_half_away_jnp(xf * inv_d)
+    return (q * d).reshape(shape).astype(x.dtype)
+
+
+def dequantize_q4_0_jnp(w: Q4_0Tensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Unpack+dequantize a Q4_0 weight to dense [rows, cols] on device."""
+    qs = jnp.asarray(w.qs)
+    scales = jnp.asarray(w.scales)
+    rows, half = qs.shape
+    lo = (qs & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (qs >> jnp.uint8(4)).astype(jnp.int8)
+    # byte j holds elements (2j, 2j+1): interleave
+    vals = jnp.stack([lo, hi], axis=-1).reshape(rows, half * 2)
+    vals = vals.astype(jnp.float32) - 8.0
+    nb = scales.shape[1]
+    vals = vals.reshape(rows, nb, QK) * scales[:, :, None].astype(jnp.float32)
+    return vals.reshape(rows, nb * QK).astype(dtype)
+
+
+def dequantize_q4_1_jnp(w: Q4_1Tensor, dtype=jnp.float32) -> jnp.ndarray:
+    qs = jnp.asarray(w.qs)
+    scales = jnp.asarray(w.scales)
+    mins = jnp.asarray(w.mins)
+    rows, half = qs.shape
+    lo = (qs & jnp.uint8(0xF)).astype(jnp.uint8)
+    hi = (qs >> jnp.uint8(4)).astype(jnp.uint8)
+    vals = jnp.stack([lo, hi], axis=-1).reshape(rows, half * 2).astype(jnp.float32)
+    nb = scales.shape[1]
+    vals = vals.reshape(rows, nb, QK) * scales[:, :, None] + mins[:, :, None]
+    return vals.reshape(rows, nb * QK).astype(dtype)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def linear(
+    x: jnp.ndarray,
+    w,
+    *,
+    quantize_activations: bool = True,
+    compute_dtype=jnp.float32,
+    prefer_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """``y[..., out] = x[..., in] @ W[out, in].T`` with dtype-based dispatch.
+
+    Equivalent of ``ggml_mul_mat(w, x)`` (``ggml.c:3623-3646``) for every
+    weight dtype the reference supports.
+    """
+    if isinstance(w, Q4_0Tensor):
+        if quantize_activations:
+            x = fake_quantize_q4_0(x)
+        if prefer_pallas if prefer_pallas is not None else _use_pallas():
+            from .q4_matmul_pallas import q4_0_matmul_pallas
+
+            return q4_0_matmul_pallas(x, w, compute_dtype=compute_dtype)
+        wd = dequantize_q4_0_jnp(w, dtype=compute_dtype)
+        return jnp.dot(
+            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+    if isinstance(w, Q4_1Tensor):
+        # reference q4_1 matmul also quantizes activations to q4_1
+        # (ggml.c:6287+); activation fake-quant for q4_1 uses the runtime
+        # (true-max) variant
+        if quantize_activations:
+            x = fake_quantize_q4_1(x)
+        wd = dequantize_q4_1_jnp(w, dtype=compute_dtype)
+        return jnp.dot(
+            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+    w = jnp.asarray(w)
+    return jnp.dot(
+        x.astype(compute_dtype), w.astype(compute_dtype).T,
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+
+
+def fake_quantize_q4_1(x: jnp.ndarray) -> jnp.ndarray:
+    """Quantize-dequantize through Q4_1 (runtime ``quantize_row_q4_1``
+    semantics, true min/max — ``ggml.c:606-648``)."""
+    shape = x.shape
+    xf = x.astype(jnp.float32).reshape(shape[:-1] + (shape[-1] // QK, QK))
+    mn = jnp.min(xf, axis=-1, keepdims=True)
+    mx = jnp.max(xf, axis=-1, keepdims=True)
+    d = (mx - mn) / 15.0
+    inv_d = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    q = round_half_away_jnp((xf - mn) * inv_d)
+    return (q * d + mn).reshape(shape).astype(x.dtype)
+
+
+def embedding_lookup(
+    tokens: jnp.ndarray, w, *, compute_dtype=jnp.float32
+) -> jnp.ndarray:
+    """``ggml_get_rows`` equivalent (``ggml.c:6760-6920``): rows of the
+    (possibly quantized) embedding table, dequantized to f32 per row."""
+    if isinstance(w, Q4_0Tensor):
+        sub = Q4_0Tensor(
+            jnp.take(jnp.asarray(w.scales), tokens, axis=0),
+            jnp.take(jnp.asarray(w.qs), tokens, axis=0),
+        )
+        return dequantize_q4_0_jnp(sub, dtype=compute_dtype)
+    if isinstance(w, Q4_1Tensor):
+        sub = Q4_1Tensor(
+            jnp.take(jnp.asarray(w.mins), tokens, axis=0),
+            jnp.take(jnp.asarray(w.scales), tokens, axis=0),
+            jnp.take(jnp.asarray(w.qs), tokens, axis=0),
+        )
+        return dequantize_q4_1_jnp(sub, dtype=compute_dtype)
+    return jnp.take(jnp.asarray(w).astype(compute_dtype), tokens, axis=0)

@@ -1,0 +1,129 @@
+"""Tensor-parallel partition specs, derived from the reference's multi-part
+file format.
+
+The GGML multi-part checkpoint IS a Megatron TP sharding that the reference
+loader merges away (``LlamaPredictOperation.mm:306-495``; SURVEY.md §2.6).
+We keep it: the same split map becomes the ``PartitionSpec`` table.
+
+numpy weight layout is ``[out, in]`` (ggml ``ne=(in, out)``), so:
+
+* split_type 1 (file row-split: wq/wk/wv, w1/w3, output) → shard the OUT
+  axis → column-parallel Megatron matmuls: no communication on entry, heads/
+  ffn-hidden sharded on exit.
+* split_type 0 (file col-split: tok_embeddings, wo, w2) → shard the IN axis
+  → row-parallel matmuls: partial sums on exit, XLA inserts the psum over
+  ``tp`` when the result must be replicated (the residual stream stays
+  replicated).
+* 1-D norm weights: replicated.
+* KV cache: head axis sharded over ``tp`` (consistent with wq/wk/wv out
+  sharding — cache writes stay local, no comm in attention except none).
+* logits: vocab axis sharded (output is split_type 1); the sampler gathers —
+  or later samples shard-wise.
+
+Quantized tensors shard per-leaf with the same axis mapping (scales/mins
+``[out, in/32]``, qs ``[out, in/2]`` — both axes scale proportionally, so the
+spec is identical).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..formats.quant import Q4_0Tensor, Q4_1Tensor
+
+# [out, in] axis -> mesh axis
+ROW_PARALLEL = P("tp", None)   # out sharded  (file split_type 1)
+COL_PARALLEL = P(None, "tp")   # in sharded   (file split_type 0)
+REPLICATED_1D = P(None)
+
+#: weight-name → spec, exactly the loader's split policy
+#: (LlamaPredictOperation.mm:358-388)
+LAYER_SPECS = {
+    "attention_norm": REPLICATED_1D,
+    "wq": ROW_PARALLEL,
+    "wk": ROW_PARALLEL,
+    "wv": ROW_PARALLEL,
+    "wo": COL_PARALLEL,
+    "ffn_norm": REPLICATED_1D,
+    "w1": ROW_PARALLEL,
+    "w2": COL_PARALLEL,
+    "w3": ROW_PARALLEL,
+}
+
+TOP_SPECS = {
+    "tok_embeddings": COL_PARALLEL,
+    "norm": REPLICATED_1D,
+    "output": ROW_PARALLEL,
+}
+
+
+def _wrap_quant(spec: P, w: Any) -> Any:
+    """Expand a 2-D weight spec onto the leaves of a quantized tensor."""
+    if isinstance(w, Q4_0Tensor):
+        return Q4_0Tensor(scales=spec, qs=spec)
+    if isinstance(w, Q4_1Tensor):
+        return Q4_1Tensor(mins=spec, scales=spec, qs=spec)
+    return spec
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching the model param tree."""
+    specs: dict = {
+        name: _wrap_quant(TOP_SPECS[name], params[name]) for name in TOP_SPECS
+    }
+    specs["layers"] = [
+        {k: _wrap_quant(LAYER_SPECS[k], layer[k]) for k in layer}
+        for layer in params["layers"]
+    ]
+    return specs
+
+
+def cache_spec(batched: bool = False) -> dict:
+    """KV cache [L, n_ctx, H, Dh] (+ leading B when batched): heads over tp."""
+    if batched:
+        return {"k": P("dp", None, None, "tp", None),
+                "v": P("dp", None, None, "tp", None)}
+    return {"k": P(None, None, "tp", None), "v": P(None, None, "tp", None)}
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place params on the mesh with the TP spec (device_put per leaf)."""
+    specs = param_specs(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    spec_leaves, spec_treedef = jax.tree_util.tree_flatten(
+        specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    assert treedef == spec_treedef, (treedef, spec_treedef)
+    placed = [
+        jax.device_put(x, NamedSharding(mesh, s))
+        for x, s in zip(leaves, spec_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def shard_cache(cache: dict, mesh: Mesh, batched: bool = False) -> dict:
+    spec = cache_spec(batched)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, spec[k])) for k, v in cache.items()
+    }
+
+
+def validate_tp_divisibility(cfg: ModelConfig, tp: int) -> None:
+    """TP must divide heads, ffn hidden, vocab and (for quant) keep whole
+    32-element blocks per shard."""
+    if cfg.n_head % tp:
+        raise ValueError(f"n_head {cfg.n_head} not divisible by tp={tp}")
+    if cfg.n_ff % (32 * tp):
+        raise ValueError(
+            f"n_ff {cfg.n_ff} must keep whole Q4 blocks per shard (tp={tp})"
+        )
+    if cfg.n_vocab % tp:
+        raise ValueError(f"n_vocab {cfg.n_vocab} not divisible by tp={tp}")
+    if cfg.n_embd % (32 * tp):
+        raise ValueError(
+            f"n_embd {cfg.n_embd} must keep whole Q4 blocks per shard (tp={tp})"
+        )
