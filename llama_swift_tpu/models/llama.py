@@ -55,7 +55,11 @@ LAYER_WEIGHTS = (
 
 
 def params_from_tensors(
-    tensors: dict, cfg: ModelConfig, *, param_dtype: Optional[Any] = None
+    tensors: dict,
+    cfg: ModelConfig,
+    *,
+    param_dtype: Optional[Any] = None,
+    transpose_q4: Optional[bool] = None,
 ) -> Params:
     """Arrange loader output (``formats/ggml.py``) into the model pytree.
 
@@ -63,11 +67,23 @@ def params_from_tensors(
     f32; f16 → bf16 on TPU, f32 elsewhere); quantized tensors stay packed.
     Norm weights are always f32 (they are 1-D f32 in the file,
     ``convert-pth-to-ggml.py:154-159``).
+
+    ``transpose_q4`` (default: on TPU backends) stores Q4_0 weights in the
+    contraction-major device layout the fused Pallas kernel wants
+    (``ops/q4_matmul_pallas.py``).
     """
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if param_dtype is None:
-        param_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        param_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if transpose_q4 is None:
+        transpose_q4 = on_tpu
+
+    from ..ops.q4_matmul_pallas import Q4_0TensorT
 
     def cvt(a):
+        if isinstance(a, Q4_0Tensor) and transpose_q4:
+            a = Q4_0TensorT.from_q4_0(a)
+            return jax.tree_util.tree_map(jnp.asarray, a)
         if isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
             return jax.tree_util.tree_map(jnp.asarray, a)
         a = np.asarray(a)

@@ -96,9 +96,9 @@ def dequantize_q4_1_jnp(w: Q4_1Tensor, dtype=jnp.float32) -> jnp.ndarray:
     return vals.reshape(rows, nb * QK).astype(dtype)
 
 
-def _use_pallas() -> bool:
+def _on_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 
@@ -116,13 +116,20 @@ def linear(
     Equivalent of ``ggml_mul_mat(w, x)`` (``ggml.c:3623-3646``) for every
     weight dtype the reference supports.
     """
+    from .q4_matmul_pallas import Q4_0TensorT, dequantize_q4_0t_jnp, q4_0_matmul_pallas
+
+    if isinstance(w, Q4_0TensorT):
+        if quantize_activations:
+            x = fake_quantize_q4_0(x)
+        if prefer_pallas if prefer_pallas is not None else _on_tpu():
+            return q4_0_matmul_pallas(x, w, compute_dtype=compute_dtype)
+        wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
+        return jnp.dot(
+            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         if quantize_activations:
             x = fake_quantize_q4_0(x)
-        if prefer_pallas if prefer_pallas is not None else _use_pallas():
-            from .q4_matmul_pallas import q4_0_matmul_pallas
-
-            return q4_0_matmul_pallas(x, w, compute_dtype=compute_dtype)
         wd = dequantize_q4_0_jnp(w, dtype=compute_dtype)
         return jnp.dot(
             x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
@@ -162,6 +169,14 @@ def embedding_lookup(
 ) -> jnp.ndarray:
     """``ggml_get_rows`` equivalent (``ggml.c:6760-6920``): rows of the
     (possibly quantized) embedding table, dequantized to f32 per row."""
+    from .q4_matmul_pallas import Q4_0TensorT, dequantize_q4_0t_jnp
+
+    if isinstance(w, Q4_0TensorT):
+        sub = Q4_0TensorT(
+            jnp.take(jnp.asarray(w.scales_t), tokens, axis=1),
+            jnp.take(jnp.asarray(w.qs_t), tokens, axis=1),
+        )
+        return dequantize_q4_0t_jnp(sub, dtype=compute_dtype)
     if isinstance(w, Q4_0Tensor):
         sub = Q4_0Tensor(
             jnp.take(jnp.asarray(w.scales), tokens, axis=0),

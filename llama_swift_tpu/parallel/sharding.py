@@ -62,11 +62,18 @@ TOP_SPECS = {
 
 
 def _wrap_quant(spec: P, w: Any) -> Any:
-    """Expand a 2-D weight spec onto the leaves of a quantized tensor."""
+    """Expand a 2-D weight spec onto the leaves of a quantized tensor.
+
+    Transposed (contraction-major) Q4 layouts swap the spec axes."""
+    from ..ops.q4_matmul_pallas import Q4_0TensorT
+
     if isinstance(w, Q4_0Tensor):
         return Q4_0Tensor(scales=spec, qs=spec)
     if isinstance(w, Q4_1Tensor):
         return Q4_1Tensor(mins=spec, scales=spec, qs=spec)
+    if isinstance(w, Q4_0TensorT):
+        tspec = P(spec[1] if len(spec) > 1 else None, spec[0])
+        return Q4_0TensorT(scales_t=tspec, qs_t=tspec)
     return spec
 
 
