@@ -22,30 +22,46 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
 
 def build_synthetic_q4_0_params(cfg):
-    """Random Q4_0 params created directly on device (no host transfer)."""
+    """Synthetic Q4_0 params in the transposed device layout, materialized by
+    ONE jitted dispatch (per-tensor host/random generation would mean
+    hundreds of round trips through the TPU tunnel)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from llama_swift_tpu.formats.ggml import expected_tensor_shapes
-    from llama_swift_tpu.formats.quant import Q4_0Tensor
+    from llama_swift_tpu.ops.q4_matmul_pallas import Q4_0TensorT
 
-    key = jax.random.PRNGKey(0)
-    tensors = {}
+    shapes = expected_tensor_shapes(cfg)
     total_bytes = 0
-    for name, shape in expected_tensor_shapes(cfg).items():
-        key, k1, k2 = jax.random.split(key, 3)
+
+    def gen_one(seed, shape):
         if len(shape) == 1:
-            tensors[name] = jnp.ones(shape, jnp.float32)
+            return jnp.ones(shape, jnp.float32)
+        rows, cols = shape
+        # deterministic pseudo-noise, pure elementwise — compiles in seconds
+        r = jax.lax.broadcasted_iota(jnp.int32, (cols // 2, rows), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (cols // 2, rows), 1)
+        qs_t = ((r * 7 + c * 13 + seed) % 251).astype(jnp.uint8)
+        rs = jax.lax.broadcasted_iota(jnp.int32, (cols // 32, rows), 0)
+        cs = jax.lax.broadcasted_iota(jnp.int32, (cols // 32, rows), 1)
+        scales_t = 0.001 + 1e-5 * ((rs * 11 + cs * 3 + seed) % 97).astype(jnp.float32)
+        return Q4_0TensorT(scales_t=scales_t, qs_t=qs_t)
+
+    @jax.jit
+    def gen_all():
+        return {
+            name: gen_one(i, shape)
+            for i, (name, shape) in enumerate(sorted(shapes.items()))
+        }
+
+    tensors = gen_all()
+    for shape in shapes.values():
+        if len(shape) == 1:
             total_bytes += shape[0] * 4
         else:
             rows, cols = shape
-            qs = jax.random.randint(
-                k1, (rows, cols // 2), 0, 256, dtype=jnp.int32
-            ).astype(jnp.uint8)
-            scales = jax.random.uniform(
-                k2, (rows, cols // 32), jnp.float32, 0.001, 0.01
-            )
-            tensors[name] = Q4_0Tensor(scales=scales, qs=qs)
             total_bytes += rows * cols // 2 + rows * (cols // 32) * 4
     return tensors, total_bytes
 
@@ -81,18 +97,18 @@ def main():
     cache = model_lib.init_cache(cfg, dtype=jnp.float32)
 
     token = jnp.asarray(7, dtype=jnp.int32)
-    # warmup/compile
-    logits, cache = model_lib.decode_step(params, token, jnp.int32(0), cache, cfg)
-    logits.block_until_ready()
+    # warmup/compile the scanned decode loop (greedy, fully on device — the
+    # host-driven sampled loop is measured separately by the runner stats)
+    toks, cache = model_lib.greedy_decode_loop(
+        params, token, jnp.int32(0), cache, cfg, args.steps
+    )
+    toks.block_until_ready()
 
-    n_past = 1
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        logits, cache = model_lib.decode_step(
-            params, token, jnp.int32(n_past), cache, cfg
-        )
-        n_past += 1
-    logits.block_until_ready()
+    toks, cache = model_lib.greedy_decode_loop(
+        params, toks[-1], jnp.int32(args.steps), cache, cfg, args.steps
+    )
+    toks.block_until_ready()
     dt = time.perf_counter() - t0
 
     tok_per_s = args.steps / dt

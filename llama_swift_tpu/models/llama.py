@@ -84,7 +84,7 @@ def params_from_tensors(
         if isinstance(a, Q4_0Tensor) and transpose_q4:
             a = Q4_0TensorT.from_q4_0(a)
             return jax.tree_util.tree_map(jnp.asarray, a)
-        if isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
+        if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT)):
             return jax.tree_util.tree_map(jnp.asarray, a)
         a = np.asarray(a)
         if a.ndim == 1:
@@ -208,7 +208,10 @@ def forward(
 
     x = qmm.embedding_lookup(tokens, params["tok_embeddings"], compute_dtype=compute_dtype)
 
-    new_k, new_v = [], []
+    # Thread the whole [L, n_ctx, H, Dh] buffers through the layer loop so
+    # XLA (with buffer donation in the jitted wrappers) updates the cache in
+    # place — a per-token full-cache copy would double decode HBM traffic.
+    ck, cv = cache["k"], cache["v"]
     for il in range(cfg.n_layer):
         layer = params["layers"][il]
         # attention block
@@ -220,14 +223,14 @@ def forward(
         # .mm:528, ignoring the file's n_rot field)
         q = rope(q, positions, cfg.head_dim)
         k = rope(k, positions, cfg.head_dim)
-        keys = jax.lax.dynamic_update_slice(
-            cache["k"][il], k.astype(cache["k"].dtype), (n_past, 0, 0)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype)[None], (il, n_past, 0, 0)
         )
-        values = jax.lax.dynamic_update_slice(
-            cache["v"][il], v.astype(cache["v"].dtype), (n_past, 0, 0)
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype)[None], (il, n_past, 0, 0)
         )
-        new_k.append(keys)
-        new_v.append(values)
+        keys = ck[il]
+        values = cv[il]
         ctx = _attention(q, keys, values, n_past, cfg.n_ctx, compute_dtype)
         x = x + lin(ctx.reshape(N, cfg.n_embd), layer["wo"])
         # feed-forward block: silu(w1·h) * (w3·h) → w2   (.mm:658-684)
@@ -237,8 +240,7 @@ def forward(
 
     x = norm(x, params["norm"], cfg.norm_type, cfg.norm_eps)
     logits = lin(x, params["output"]).astype(jnp.float32)
-    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-    return logits, new_cache
+    return logits, {"k": ck, "v": cv}
 
 
 # ---------------------------------------------------------------------------
@@ -246,17 +248,42 @@ def forward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def prefill(params, tokens, n_past, cache, cfg: ModelConfig):
-    """Process a (padded) prompt chunk; returns (all logits, cache)."""
+    """Process a (padded) prompt chunk; returns (all logits, cache).
+    The cache buffer is donated — updated in place on device."""
     return forward(params, tokens, n_past, cache, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def decode_step(params, token, n_past, cache, cfg: ModelConfig):
     """Single-token decode; returns (logits [n_vocab], cache)."""
     logits, cache = forward(params, token[None], n_past, cache, cfg)
     return logits[0], cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",)
+)
+def greedy_decode_loop(params, first_token, n_past, cache, cfg: ModelConfig, n_steps: int):
+    """n_steps of on-device greedy decode under one ``lax.scan`` — zero host
+    round-trips between tokens (per-step dispatch latency would otherwise
+    bound decode throughput).  Returns (token ids [n_steps], cache).
+
+    Greedy is a TPU-native extra; sampled decode goes through the host
+    sampler for reference parity (``runtime/sampler.py``).
+    """
+
+    def body(carry, _):
+        token, np_, c = carry
+        logits, c = forward(params, token[None], np_, c, cfg)
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        return (nxt, np_ + jnp.int32(1), c), nxt
+
+    (_, _, cache), toks = jax.lax.scan(
+        body, (first_token, n_past, cache), None, length=n_steps
+    )
+    return toks, cache
 
 
 def pad_tokens(ids: list[int], multiple: int) -> tuple[np.ndarray, int]:
