@@ -23,6 +23,7 @@ from .runtime.errors import (
     LlamaError,
     PredictionFailedError,
 )
+from .runtime.engine import Engine, StreamHandle
 from .runtime.events import Event, EventKind, RunState
 from .runtime.runner import LlamaRunner
 from .tokenizer import BOS_TOKEN_ID, Vocab
@@ -30,6 +31,8 @@ from .tokenizer import BOS_TOKEN_ID, Vocab
 __all__ = [
     "BOS_TOKEN_ID",
     "ERROR_DOMAIN",
+    "Engine",
+    "StreamHandle",
     "Event",
     "EventKind",
     "FailedToLoadModelError",

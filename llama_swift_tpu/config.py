@@ -143,6 +143,11 @@ class SamplingConfig:
     temp: float = 0.80
     repeat_penalty: float = 1.30
     n_batch: int = 8  # prompt-prefill chunk size
+    #: "numpy" (counted Generator) or "mt19937" (native std::mt19937 via the
+    #: C++ sampler — bit-compatible RNG stream with the reference,
+    #: LlamaPredictOperation.mm:773; falls back to numpy if the native lib
+    #: can't build)
+    rng_impl: str = "numpy"
 
 
 @dataclasses.dataclass(frozen=True)

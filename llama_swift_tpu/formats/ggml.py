@@ -175,6 +175,58 @@ class GGMLModelFile:
     config: ModelConfig
     vocab: list[bytes]
     tensors: dict[str, Union[np.ndarray, Q4_0Tensor, Q4_1Tensor]]
+    #: when loaded through the native mmap path, keeps the mapping alive for
+    #: the zero-copy views in ``tensors``
+    native_handle: object = None
+
+
+def _load_model_file_native(path: str, n_ctx: int, *, dequantize: bool) -> GGMLModelFile:
+    """Single-part load via the C++ mmap parser (``native/ggml_io.cpp``)."""
+    from ..native import bindings as nb
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    try:
+        nm = nb.NativeModelFile(path)
+    except ValueError as e:
+        raise GGMLFormatError(str(e)) from e
+    n_vocab, n_embd, n_mult, n_head, n_layer, n_rot, f16 = nm.hparams
+    try:
+        ftype = GGMLType(f16)
+    except ValueError:
+        nm.close()
+        raise GGMLFormatError(f"invalid model file (bad f16 value {f16})")
+    cfg = ModelConfig(
+        n_vocab=n_vocab, n_embd=n_embd, n_mult=n_mult, n_head=n_head,
+        n_layer=n_layer, n_rot=n_rot, ftype=ftype, n_ctx=n_ctx,
+    )
+    shapes = expected_tensor_shapes(cfg)
+    tensors: dict[str, Union[np.ndarray, Q4_0Tensor, Q4_1Tensor]] = {}
+    for name, info in nm.tensors.items():
+        if name not in shapes:
+            nm.close()
+            raise GGMLFormatError(f"unknown tensor '{name}' in model file")
+        full = shapes[name]
+        shape = tuple(reversed(info["ne"]))
+        if shape != full:
+            nm.close()
+            raise GGMLFormatError(f"tensor '{name}' has wrong shape in model file")
+        rec = TensorRecord(
+            name=name, ne=info["ne"], ftype=GGMLType(info["ftype"]),
+            data=info["raw"].reshape(shape[0] if len(shape) == 2 else 1, -1),
+        )
+        arr = rec.to_array()
+        if len(shape) == 1 and isinstance(arr, np.ndarray):
+            arr = arr.reshape(-1)
+        if dequantize and isinstance(arr, (Q4_0Tensor, Q4_1Tensor)):
+            arr = arr.dequantize()
+        tensors[name] = arr
+    missing = set(shapes) - set(tensors)
+    if missing:
+        nm.close()
+        raise GGMLFormatError(f"missing tensors in model file: {sorted(missing)[:5]}")
+    return GGMLModelFile(config=cfg, vocab=nm.vocab(), tensors=tensors,
+                         native_handle=nm)
 
 
 def part_paths(path: str, n_parts: int) -> list[str]:
@@ -255,13 +307,27 @@ def load_model_file(
     *,
     n_parts: Optional[int] = None,
     dequantize: bool = False,
+    use_native: Optional[bool] = None,
 ) -> GGMLModelFile:
     """Load (and if multi-part, merge) a GGML model file.
 
     With ``dequantize=True`` Q4 tensors are decoded to f32 numpy arrays;
     otherwise they stay as packed :class:`Q4_0Tensor`/:class:`Q4_1Tensor`.
     f16 tensors stay f16.
+
+    ``use_native`` (default: auto) routes single-part loads through the
+    mmap'd C++ parser (``native/ggml_io.cpp``) — zero read() copies; the
+    Python reader is the fallback and the multi-part path.
     """
+    if use_native is not False and (n_parts is None or n_parts == 1):
+        try:
+            from ..native import bindings as nb
+
+            if (use_native or nb.available()) and not os.path.exists(f"{path}.1"):
+                return _load_model_file_native(path, n_ctx, dequantize=dequantize)
+        except (ImportError, RuntimeError):
+            if use_native:
+                raise
     with open(path, "rb") as f:
         cfg = read_header(f, n_ctx)
         vocab = read_vocab(f, cfg.n_vocab)

@@ -96,38 +96,53 @@ def dequantize_q4_0t_jnp(w: Q4_0TensorT, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _q4_0_matvec_kernel(x_even_ref, x_odd_ref, qs_ref, scales_ref, out_ref):
-    """One out-tile: dequantize [KH, TO] packed bytes in VMEM, two MXU dots."""
-    kh, to = qs_ref.shape
-    nb = scales_ref.shape[0]
+    """One (out-tile, k-tile) step: dequantize [KT, TO] packed bytes in VMEM,
+    two MXU dots, accumulate into the out tile across k steps."""
+    kt, to = qs_ref.shape
+    nbt = scales_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
     qs = qs_ref[:].astype(jnp.int32)
-    lo = ((qs & 15) - 8).astype(jnp.float32)
-    hi = ((qs >> 4) - 8).astype(jnp.float32)
     s = jnp.broadcast_to(
-        scales_ref[:].reshape(nb, 1, to), (nb, PACKED_PER_BLOCK, to)
-    ).reshape(kh, to)
+        scales_ref[:].reshape(nbt, 1, to), (nbt, PACKED_PER_BLOCK, to)
+    ).reshape(kt, to)
     acc = jnp.dot(
-        x_even_ref[:], lo * s,
+        x_even_ref[:], ((qs & 15) - 8).astype(jnp.float32) * s,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     acc += jnp.dot(
-        x_odd_ref[:], hi * s,
+        x_odd_ref[:], ((qs >> 4) - 8).astype(jnp.float32) * s,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    out_ref[:] = acc
+    out_ref[:] += acc
 
 
-def _pick_out_tile(out_dim: int, kh: int) -> int:
-    """Largest 128-multiple out-tile keeping the packed block ≲2 MB (double
-    buffering fits comfortably in ~16 MB VMEM alongside x)."""
-    budget = 2 * 1024 * 1024
-    to = min(out_dim, max(128, budget // max(kh, 1) // 128 * 128))
-    while out_dim % to:
-        to -= 128
-        if to < 128:
-            return 0
-    return to
+def _largest_aligned_divisor(dim: int, cap: int, align: int) -> int:
+    """Largest divisor of ``dim`` that is a multiple of ``align`` and ≤ cap."""
+    best = 0
+    t = align
+    while t <= min(dim, cap):
+        if dim % t == 0:
+            best = t
+        t += align
+    return best
+
+
+def _pick_tiles(out_dim: int, kh: int) -> tuple[int, int]:
+    """(TO, KT) such that the f32 dequant temporaries (~13 B per packed
+    byte across qs/int32/f32/s buffers) stay well inside the 16 MB VMEM."""
+    kt = _largest_aligned_divisor(kh, 2048, 128)
+    if not kt:
+        return 0, 0
+    budget = 6 * 1024 * 1024 // 13  # packed bytes per (TO×KT) tile
+    to_cap = max(128, budget // kt // 128 * 128)
+    to = _largest_aligned_divisor(out_dim, min(to_cap, 512), 128)
+    return (to, kt) if to else (0, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -135,19 +150,20 @@ def _q4_0_matmul_call(x_even, x_odd, qs_t, scales_t, *, interpret=False):
     n = x_even.shape[0]
     kh, out_dim = qs_t.shape
     nb = scales_t.shape[0]
-    to = _pick_out_tile(out_dim, kh)
-    assert to, (out_dim, kh)
-    grid = (out_dim // to,)
+    to, kt = _pick_tiles(out_dim, kh)
+    assert to and kt, (out_dim, kh)
+    nbt = kt // PACKED_PER_BLOCK
+    grid = (out_dim // to, kh // kt)  # k innermost: out tile revisited across k
     return pl.pallas_call(
         _q4_0_matvec_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, kh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, kh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, to), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, to), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbt, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, to), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -182,12 +198,10 @@ def q4_0_matmul_pallas(
     n_rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
 
-    # tiling preconditions: minor (lane) dim 128-aligned; contraction dim a
-    # sublane multiple; row count small enough to keep x resident
-    usable = (
-        out_dim % 128 == 0 and kh % 128 == 0 and nb % 8 == 0
-        and n_rows <= MAX_KERNEL_ROWS
-    )
+    # tiling preconditions: tiles must exist (128-aligned divisors) and the
+    # row count small enough that x stays VMEM-resident
+    to, kt = _pick_tiles(out_dim, kh)
+    usable = bool(to) and nb % 8 == 0 and n_rows <= MAX_KERNEL_ROWS
     if not usable:
         wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
         y = jnp.dot(

@@ -99,13 +99,23 @@ class SamplerState:
     config: SamplingConfig
     rng: np.random.Generator = None  # type: ignore[assignment]
     ring: deque = None  # type: ignore[assignment]
+    _native = None
 
     def __post_init__(self):
+        seed = self.config.seed
+        if seed is None or (isinstance(seed, int) and seed < 0):
+            # reference: seed=-1 → mt19937((uint32)-1), i.e. fixed
+            seed = 0xFFFFFFFF if seed == -1 else None
+        if self.config.rng_impl == "mt19937":
+            from ..native import bindings as nb
+
+            if nb.available():
+                import secrets
+
+                self._native = nb.NativeSampler(
+                    seed if seed is not None else secrets.randbits(32)
+                )
         if self.rng is None:
-            seed = self.config.seed
-            if seed is None or (isinstance(seed, int) and seed < 0):
-                # reference: seed=-1 → mt19937((uint32)-1), i.e. fixed
-                seed = 0xFFFFFFFF if seed == -1 else None
             self.rng = np.random.default_rng(seed)
         if self.ring is None:
             self.ring = deque(
@@ -118,15 +128,22 @@ class SamplerState:
 
     def sample(self, logits: np.ndarray) -> int:
         c = self.config
-        token = sample_top_p_top_k(
-            logits,
-            list(self.ring),
-            repeat_penalty=c.repeat_penalty,
-            top_k=c.top_k,
-            top_p=c.top_p,
-            temp=c.temp,
-            rng=self.rng,
-        )
+        if self._native is not None:
+            token = self._native.sample(
+                np.asarray(logits, dtype=np.float32), list(self.ring),
+                repeat_penalty=c.repeat_penalty, top_k=c.top_k, top_p=c.top_p,
+                temp=c.temp,
+            )
+        else:
+            token = sample_top_p_top_k(
+                logits,
+                list(self.ring),
+                repeat_penalty=c.repeat_penalty,
+                top_k=c.top_k,
+                top_p=c.top_p,
+                temp=c.temp,
+                rng=self.rng,
+            )
         self.ring.append(token)
         return token
 

@@ -1,0 +1,144 @@
+"""Tensor-parallel correctness on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 5): sharded execution must be numerically identical to
+single-device execution, for dense and quantized params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llama_swift_tpu.config import ModelConfig
+from llama_swift_tpu.formats.quant import Q4_0Tensor
+from llama_swift_tpu.models import llama as model_lib
+from llama_swift_tpu.parallel import sharding as sh
+from llama_swift_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(tp=8, dp=1)
+
+
+@pytest.fixture(scope="module")
+def tp_cfg():
+    # shapes divisible for tp=8 incl. whole Q4 blocks per shard
+    return ModelConfig.tiny(
+        n_embd=512, n_head=8, n_vocab=256, n_mult=256, n_layer=2, n_ctx=32,
+        n_rot=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def tp_tensors(tp_cfg):
+    return model_lib.random_params(tp_cfg, seed=1)
+
+
+def _run(params, cache, cfg, tokens):
+    logits, cache = model_lib.prefill(
+        params, jnp.asarray(tokens, dtype=jnp.int32), jnp.int32(0), cache, cfg
+    )
+    return np.asarray(logits)
+
+
+def test_validate_tp_divisibility(tp_cfg):
+    sh.validate_tp_divisibility(tp_cfg, 8)
+    with pytest.raises(ValueError):
+        sh.validate_tp_divisibility(tp_cfg, 3)
+
+
+def test_sharded_dense_matches_single(mesh, tp_cfg, tp_tensors):
+    cfg = tp_cfg
+    params = model_lib.params_from_tensors(tp_tensors, cfg, param_dtype=jnp.float32)
+    tokens = [1, 7, 33, 120]
+
+    base = _run(params, model_lib.init_cache(cfg), cfg, tokens)
+
+    params_sh = sh.shard_params(params, mesh)
+    cache_sh = sh.shard_cache(model_lib.init_cache(cfg), mesh)
+    with jax.sharding.set_mesh(mesh):
+        out = _run(params_sh, cache_sh, cfg, tokens)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_q4_matches_single(mesh, tp_cfg, tp_tensors):
+    cfg = tp_cfg
+    qt = {
+        k: (Q4_0Tensor.quantize(v) if v.ndim == 2 else v)
+        for k, v in tp_tensors.items()
+    }
+    params = model_lib.params_from_tensors(
+        qt, cfg, param_dtype=jnp.float32, transpose_q4=False
+    )
+    tokens = [1, 9, 50]
+    base = _run(params, model_lib.init_cache(cfg), cfg, tokens)
+
+    params_sh = sh.shard_params(params, mesh)
+    cache_sh = sh.shard_cache(model_lib.init_cache(cfg), mesh)
+    with jax.sharding.set_mesh(mesh):
+        out = _run(params_sh, cache_sh, cfg, tokens)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_q4_transposed_matches_single(mesh, tp_cfg, tp_tensors):
+    cfg = tp_cfg
+    qt = {
+        k: (Q4_0Tensor.quantize(v) if v.ndim == 2 else v)
+        for k, v in tp_tensors.items()
+    }
+    params = model_lib.params_from_tensors(
+        qt, cfg, param_dtype=jnp.float32, transpose_q4=True
+    )
+    tokens = [2, 11, 40]
+    base = _run(params, model_lib.init_cache(cfg), cfg, tokens)
+
+    params_sh = sh.shard_params(params, mesh)
+    cache_sh = sh.shard_cache(model_lib.init_cache(cfg), mesh)
+    with jax.sharding.set_mesh(mesh):
+        out = _run(params_sh, cache_sh, cfg, tokens)
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-4)
+
+
+def test_param_placement_follows_split_map(mesh, tp_cfg, tp_tensors):
+    """wq rows sharded over tp; wo columns sharded; norms replicated —
+    exactly the file format's split_type policy (SURVEY.md §2.6)."""
+    cfg = tp_cfg
+    params = model_lib.params_from_tensors(tp_tensors, cfg, param_dtype=jnp.float32)
+    params_sh = sh.shard_params(params, mesh)
+    wq = params_sh["layers"][0]["wq"]
+    wo = params_sh["layers"][0]["wo"]
+    norm = params_sh["layers"][0]["attention_norm"]
+    assert wq.sharding.spec == P("tp", None)
+    assert wo.sharding.spec == P(None, "tp")
+    # per-device shard shapes
+    assert wq.addressable_shards[0].data.shape == (cfg.n_embd // 8, cfg.n_embd)
+    assert wo.addressable_shards[0].data.shape == (cfg.n_embd, cfg.n_embd // 8)
+    assert norm.addressable_shards[0].data.shape == (cfg.n_embd,)
+
+
+def test_decode_sharded(mesh, tp_cfg, tp_tensors):
+    cfg = tp_cfg
+    params = model_lib.params_from_tensors(tp_tensors, cfg, param_dtype=jnp.float32)
+    tokens = [1, 7]
+    cache = model_lib.init_cache(cfg)
+    _, cache = model_lib.prefill(
+        params, jnp.asarray(tokens, dtype=jnp.int32), jnp.int32(0), cache, cfg
+    )
+    base_logits, _ = model_lib.decode_step(
+        params, jnp.int32(5), jnp.int32(2), cache, cfg
+    )
+
+    params_sh = sh.shard_params(params, mesh)
+    cache_sh = sh.shard_cache(model_lib.init_cache(cfg), mesh)
+    with jax.sharding.set_mesh(mesh):
+        _, cache_sh = model_lib.prefill(
+            params_sh, jnp.asarray(tokens, dtype=jnp.int32), jnp.int32(0),
+            cache_sh, cfg,
+        )
+        sh_logits, _ = model_lib.decode_step(
+            params_sh, jnp.int32(5), jnp.int32(2), cache_sh, cfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(sh_logits), np.asarray(base_logits), rtol=2e-4, atol=2e-4
+    )
