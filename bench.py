@@ -40,13 +40,16 @@ def build_synthetic_q4_0_params(cfg):
         if len(shape) == 1:
             return jnp.ones(shape, jnp.float32)
         rows, cols = shape
+        ot = rows // 128
         # deterministic pseudo-noise, pure elementwise — compiles in seconds
-        r = jax.lax.broadcasted_iota(jnp.int32, (cols // 2, rows), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (cols // 2, rows), 1)
-        qs_t = ((r * 7 + c * 13 + seed) % 251).astype(jnp.uint8)
-        rs = jax.lax.broadcasted_iota(jnp.int32, (cols // 32, rows), 0)
-        cs = jax.lax.broadcasted_iota(jnp.int32, (cols // 32, rows), 1)
-        scales_t = 0.001 + 1e-5 * ((rs * 11 + cs * 3 + seed) % 97).astype(jnp.float32)
+        def noise3(d1, mod, scale, off):
+            a = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 0)
+            b = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 1)
+            c = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 2)
+            return (a * 7 + b * 13 + c * 3 + seed) % mod
+
+        qs_t = noise3(cols // 2, 251, None, None).astype(jnp.uint8)
+        scales_t = 0.001 + 1e-5 * noise3(cols // 32, 97, None, None).astype(jnp.float32)
         return Q4_0TensorT(scales_t=scales_t, qs_t=qs_t)
 
     @jax.jit

@@ -76,6 +76,15 @@ class ModelConfig:
     norm_eps: float = 1e-5  # hardcoded in the reference, ggml.c:5355
     quantize_activations: bool = True  # replicate mul_mat_q4_0 INIT behaviour
     compute_dtype: str = "float32"  # activation compute dtype
+    #: fuse wq/wk/wv into one matmul and w1/w3 into one (out-dim concat;
+    #: numerically exact — Q4 block scales are per source row). Off by
+    #: default: measured no decode gain (bandwidth-bound, launch overhead is
+    #: negligible) and the concatenated out dims can break TP divisibility
+    #: with the 128-row tiled Q4 layout (e.g. 2·11008/128 tiles % 8 ≠ 0).
+    fuse_layer_matmuls: bool = False
+    #: KV cache dtype ("float32" matches the reference's f32 cache,
+    #: .mm:297-304; "bfloat16" halves attention HBM traffic)
+    kv_cache_dtype: str = "float32"
 
     @property
     def n_ff(self) -> int:

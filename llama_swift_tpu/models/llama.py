@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
+from ..config import QK, ModelConfig
 from ..formats.ggml import GGMLModelFile
 from ..formats.quant import Q4_0Tensor, Q4_1Tensor
 from ..ops import quantized_matmul as qmm
@@ -60,6 +60,7 @@ def params_from_tensors(
     *,
     param_dtype: Optional[Any] = None,
     transpose_q4: Optional[bool] = None,
+    shard_pad: int = 1,
 ) -> Params:
     """Arrange loader output (``formats/ggml.py``) into the model pytree.
 
@@ -71,6 +72,13 @@ def params_from_tensors(
     ``transpose_q4`` (default: on TPU backends) stores Q4_0 weights in the
     contraction-major device layout the fused Pallas kernel wants
     (``ops/q4_matmul_pallas.py``).
+
+    ``shard_pad``: zero-pad the FFN hidden (w1/w3 out + w2 in) and vocab
+    (output out) dims up to a multiple of this — pass ``128 * tp`` when
+    row-sharding the tiled Q4 layout over a TP mesh (tile granularity ×
+    shard count).  Numerically exact: padded rows/blocks have zero scales,
+    contribute zero activations, and padded logits are sliced off in
+    ``forward``.
     """
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if param_dtype is None:
@@ -81,7 +89,7 @@ def params_from_tensors(
     from ..ops.q4_matmul_pallas import Q4_0TensorT
 
     def cvt(a):
-        if isinstance(a, Q4_0Tensor) and transpose_q4:
+        if isinstance(a, Q4_0Tensor) and transpose_q4 and a.shape[0] % 128 == 0:
             a = Q4_0TensorT.from_q4_0(a)
             return jax.tree_util.tree_map(jnp.asarray, a)
         if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT)):
@@ -91,24 +99,119 @@ def params_from_tensors(
             return jnp.asarray(a, dtype=jnp.float32)
         return jnp.asarray(a, dtype=param_dtype)
 
+    def rup(n):
+        return (n + shard_pad - 1) // shard_pad * shard_pad
+
+    ff_pad = rup(cfg.n_ff)
+    vocab_pad = rup(cfg.n_vocab)
+
     params: Params = {
         "tok_embeddings": cvt(tensors["tok_embeddings.weight"]),
         "norm": cvt(tensors["norm.weight"]),
-        "output": cvt(tensors["output.weight"]),
+        "output": cvt(_pad_weight(tensors["output.weight"], out_to=vocab_pad)),
         "layers": [],
     }
     for i in range(cfg.n_layer):
         p = f"layers.{i}."
-        layer = {}
-        for w in LAYER_WEIGHTS:
+
+        def get(w):
             key = (
                 p + ("attention." + w + ".weight" if w in ("wq", "wk", "wv", "wo")
                      else "feed_forward." + w + ".weight" if w in ("w1", "w2", "w3")
                      else w + ".weight")
             )
-            layer[w] = cvt(tensors[key])
+            return tensors[key]
+
+        layer = {
+            "attention_norm": cvt(get("attention_norm")),
+            "ffn_norm": cvt(get("ffn_norm")),
+            "wo": cvt(get("wo")),
+            "w2": cvt(_pad_weight(get("w2"), in_to=ff_pad)),
+        }
+        if cfg.fuse_layer_matmuls:
+            # out-dim concat: fewer, larger kernels; numerically exact (Q4
+            # block scales are per source row)
+            layer["wqkv"] = cvt(_concat_out([get("wq"), get("wk"), get("wv")]))
+            layer["w13"] = cvt(_concat_out([
+                _pad_weight(get("w1"), out_to=ff_pad),
+                _pad_weight(get("w3"), out_to=ff_pad),
+            ]))
+        else:
+            for w in ("wq", "wk", "wv"):
+                layer[w] = cvt(get(w))
+            layer["w1"] = cvt(_pad_weight(get("w1"), out_to=ff_pad))
+            layer["w3"] = cvt(_pad_weight(get("w3"), out_to=ff_pad))
         params["layers"].append(layer)
     return params
+
+
+def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
+    """Zero-pad a [out, in] weight (dense or quantized) to target dims.
+
+    Zero Q4 blocks (scale 0, nibbles 0) dequantize to exact zeros, so padded
+    rows produce zero activations and padded in-columns consume zeros — the
+    result is bit-identical on the original span.
+    """
+    if isinstance(a, Q4_0Tensor):
+        rows, cols = a.shape
+        ro = (out_to or rows) - rows
+        co = (in_to or cols) - cols
+        if not ro and not co:
+            return a
+        return Q4_0Tensor(
+            scales=np.pad(np.asarray(a.scales), ((0, ro), (0, co // QK))),
+            qs=np.pad(np.asarray(a.qs), ((0, ro), (0, co // 2))),
+        )
+    if isinstance(a, Q4_1Tensor):
+        rows, cols = a.shape
+        ro = (out_to or rows) - rows
+        co = (in_to or cols) - cols
+        if not ro and not co:
+            return a
+        return Q4_1Tensor(
+            mins=np.pad(np.asarray(a.mins), ((0, ro), (0, co // QK))),
+            scales=np.pad(np.asarray(a.scales), ((0, ro), (0, co // QK))),
+            qs=np.pad(np.asarray(a.qs), ((0, ro), (0, co // 2))),
+        )
+    a = np.asarray(a)
+    ro = (out_to or a.shape[0]) - a.shape[0]
+    co = (in_to or a.shape[1]) - a.shape[1]
+    if not ro and not co:
+        return a
+    return np.pad(a, ((0, ro), (0, co)))
+
+
+def _concat_out(parts: list):
+    """Concatenate weights [out, in] along the out axis (rows).
+
+    jnp.concatenate keeps device arrays on device (synthetic/bench params);
+    numpy inputs concatenate on host.
+    """
+    from ..ops.q4_matmul_pallas import Q4_0TensorT
+
+    def cat(leaves, axis=0):
+        if any(isinstance(l, jnp.ndarray) for l in leaves):
+            return jnp.concatenate(leaves, axis=axis)
+        return np.concatenate([np.asarray(l) for l in leaves], axis=axis)
+
+    if isinstance(parts[0], Q4_0Tensor):
+        return Q4_0Tensor(
+            scales=cat([p.scales for p in parts]),
+            qs=cat([p.qs for p in parts]),
+        )
+    if isinstance(parts[0], Q4_1Tensor):
+        return Q4_1Tensor(
+            mins=cat([p.mins for p in parts]),
+            scales=cat([p.scales for p in parts]),
+            qs=cat([p.qs for p in parts]),
+        )
+    if isinstance(parts[0], Q4_0TensorT):
+        # tiled layout [out/128, X, 128]: out is axis 0
+        return Q4_0TensorT(
+            scales_t=cat([p.scales_t for p in parts], axis=0),
+            qs_t=cat([p.qs_t for p in parts], axis=0),
+        )
+    return cat(list(parts))
 
 
 def params_from_file(model: GGMLModelFile, *, param_dtype=None) -> Params:
@@ -136,13 +239,15 @@ def random_params(
 # ---------------------------------------------------------------------------
 
 
-def init_cache(cfg: ModelConfig, dtype=jnp.float32, batch: Optional[int] = None) -> Cache:
+def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cache:
     """Dense per-sequence KV cache [L, n_ctx, H, Dh] (k stored post-rope).
 
     Replaces the reference's two 1-D f32 tensors of n_layer*n_ctx*n_embd
     elements (``LlamaPredictOperation.mm:289-304``).  ``batch`` adds a
     leading axis for vmapped use.
     """
+    if dtype is None:
+        dtype = jnp.dtype(cfg.kv_cache_dtype)
     shape = (cfg.n_layer, cfg.n_ctx, cfg.n_head, cfg.head_dim)
     if batch is not None:
         shape = (batch,) + shape
@@ -212,13 +317,20 @@ def forward(
     # XLA (with buffer donation in the jitted wrappers) updates the cache in
     # place — a per-token full-cache copy would double decode HBM traffic.
     ck, cv = cache["k"], cache["v"]
+    D = cfg.n_embd
     for il in range(cfg.n_layer):
         layer = params["layers"][il]
         # attention block
         h = norm(x, layer["attention_norm"], cfg.norm_type, cfg.norm_eps)
-        q = lin(h, layer["wq"]).reshape(N, cfg.n_head, cfg.head_dim)
-        k = lin(h, layer["wk"]).reshape(N, cfg.n_head, cfg.head_dim)
-        v = lin(h, layer["wv"]).reshape(N, cfg.n_head, cfg.head_dim)
+        if "wqkv" in layer:
+            qkv = lin(h, layer["wqkv"])
+            q = qkv[:, 0 * D : 1 * D].reshape(N, cfg.n_head, cfg.head_dim)
+            k = qkv[:, 1 * D : 2 * D].reshape(N, cfg.n_head, cfg.head_dim)
+            v = qkv[:, 2 * D : 3 * D].reshape(N, cfg.n_head, cfg.head_dim)
+        else:
+            q = lin(h, layer["wq"]).reshape(N, cfg.n_head, cfg.head_dim)
+            k = lin(h, layer["wk"]).reshape(N, cfg.n_head, cfg.head_dim)
+            v = lin(h, layer["wv"]).reshape(N, cfg.n_head, cfg.head_dim)
         # rope over the full head dim (eval recomputes n_rot = n_embd/n_head,
         # .mm:528, ignoring the file's n_rot field)
         q = rope(q, positions, cfg.head_dim)
@@ -235,11 +347,20 @@ def forward(
         x = x + lin(ctx.reshape(N, cfg.n_embd), layer["wo"])
         # feed-forward block: silu(w1·h) * (w3·h) → w2   (.mm:658-684)
         h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
-        gate = jax.nn.silu(lin(h, layer["w1"]).astype(jnp.float32)).astype(compute_dtype)
-        x = x + lin(gate * lin(h, layer["w3"]), layer["w2"])
+        if "w13" in layer:
+            g13 = lin(h, layer["w13"])
+            half = g13.shape[1] // 2  # n_ff possibly shard-padded
+            g1 = g13[:, :half]
+            g3 = g13[:, half:]
+        else:
+            g1 = lin(h, layer["w1"])
+            g3 = lin(h, layer["w3"])
+        gate = jax.nn.silu(g1.astype(jnp.float32)).astype(compute_dtype)
+        x = x + lin(gate * g3, layer["w2"])
 
     x = norm(x, params["norm"], cfg.norm_type, cfg.norm_eps)
     logits = lin(x, params["output"]).astype(jnp.float32)
+    logits = logits[:, : cfg.n_vocab]  # drop shard-padding rows of `output`
     return logits, {"k": ck, "v": cv}
 
 

@@ -8,26 +8,33 @@ from HBM once (SURVEY.md §3.2 "where time goes").  The kernel reads the
 5 bits/weight, identical storage to the reference — and dequantizes in VMEM
 right before the MXU dot.  No dense f16/f32 weight copy ever exists in HBM.
 
-Two layout tricks make this Mosaic-friendly:
+Three layout decisions make this fast and Mosaic-friendly:
 
-1. **Even/odd activation split.**  GGML packs elements (2j, 2j+1) into byte j
-   (low/high nibble).  Instead of re-interleaving nibbles (an unsupported
-   lane shuffle), split the *activations* into even/odd columns once per step
-   (cheap XLA slice) and compute
-   ``y = x_even @ deq_lo + x_odd @ deq_hi`` — each packed byte is loaded once
-   and feeds both partial products.
+1. **Even/odd activation split.**  GGML packs elements (2j, 2j+1) into byte
+   j (low/high nibble).  Instead of re-interleaving nibbles (an unsupported
+   lane shuffle), split the *activations* into even/odd columns once per
+   step (cheap XLA slice) and compute ``y = x_even @ deq_lo + x_odd @
+   deq_hi`` — each packed byte is loaded once and feeds both partial
+   products.
 
-2. **Transposed (contraction-major) device layout.**  The per-block scales
-   must be broadcast ×16 along the packed axis.  Lane-axis expansion does not
-   lower on Mosaic, sublane-axis expansion does — so device arrays are stored
-   transposed: ``qs_t [in/2, out]``, ``scales_t [in/32, out]``; the ×16
-   expansion becomes ``reshape(nb,1,out) → broadcast(nb,16,out) →
-   reshape(kh,out)``, all on non-minor axes (verified to compile on v5e).
+2. **Contraction-major tiles.**  The per-block scales must be broadcast ×16
+   along the packed axis.  Lane-axis expansion does not lower on Mosaic,
+   sublane-axis expansion does — so inside a tile the packed axis (kh) runs
+   on sublanes and the out axis on lanes: tile [KT, TO], scales [KT/16, TO],
+   expansion = reshape(nbt,1,TO) → broadcast(nbt,16,TO) → reshape (verified
+   compiling on v5e).
 
-Grid: (out_tiles,) with the full contraction dim resident in VMEM — for
-decode matvecs even 65B shapes fit (qs tile [11008, 256] ≈ 2.8 MB).
-Dots use ``Precision.HIGHEST`` (f32-accurate) — decode has FLOPs to burn;
-the bandwidth roofline is the binding constraint.
+3. **Pre-tiled physical layout.**  A plain [kh, out] array makes every
+   (k, j) grid block a column slice — thousands of 128-byte strided HBM
+   reads, which caps bandwidth at ~15% of peak (measured).  The device
+   arrays are therefore stored pre-tiled as ``[out/TO, kh, TO]`` so every
+   grid block is one contiguous HBM range, streamed in ascending address
+   order (k innermost).
+
+Grid: (n_tiles, out_tiles, k_tiles) with accumulation over k — covers both
+decode matvecs and prefill batches.  Dots use ``Precision.HIGHEST``
+(f32-accurate): decode has FLOPs to spare, bandwidth is the binding
+constraint.
 """
 
 from __future__ import annotations
@@ -45,14 +52,17 @@ from ..config import QK
 from ..formats.quant import Q4_0Tensor
 
 PACKED_PER_BLOCK = QK // 2  # nibble-bytes per 32-element scale block
+LANE_TILE = 128  # out-axis tile width (TO); fixed by the physical layout
 
 
 @dataclasses.dataclass
 class Q4_0TensorT:
-    """Q4_0 weight in transposed (contraction-major) device layout.
+    """Q4_0 weight in the pre-tiled, contraction-major device layout.
 
-    Logical weight is [out, in] (same as :class:`Q4_0Tensor`); stored as
-    ``qs_t`` uint8 [in/2, out] and ``scales_t`` f32 [in/32, out].
+    Logical weight is [out, in] (as :class:`Q4_0Tensor`); stored as
+    ``qs_t`` uint8 [out/128, in/2, 128] and ``scales_t`` f32
+    [out/128, in/32, 128] — each (out-tile, k-range) block contiguous in
+    HBM (see module docstring, layout decision 3).
     """
 
     scales_t: jnp.ndarray
@@ -60,19 +70,31 @@ class Q4_0TensorT:
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.qs_t.shape[1], self.qs_t.shape[0] * 2)
+        return (self.qs_t.shape[0] * LANE_TILE, self.qs_t.shape[1] * 2)
 
     @classmethod
     def from_q4_0(cls, w: Q4_0Tensor) -> "Q4_0TensorT":
-        scales = np.ascontiguousarray(np.asarray(w.scales).T)
-        qs = np.ascontiguousarray(np.asarray(w.qs).T)
-        return cls(scales_t=scales, qs_t=qs)
+        qs = np.asarray(w.qs)  # [out, kh]
+        scales = np.asarray(w.scales)  # [out, nb]
+        out, kh = qs.shape
+        assert out % LANE_TILE == 0, f"out dim {out} not a multiple of {LANE_TILE}"
+        ot = out // LANE_TILE
+
+        def tile(a):
+            # [out, X] -> [ot, X, LANE_TILE]
+            return np.ascontiguousarray(
+                a.reshape(ot, LANE_TILE, a.shape[1]).transpose(0, 2, 1)
+            )
+
+        return cls(scales_t=tile(scales), qs_t=tile(qs))
 
     def to_q4_0(self) -> Q4_0Tensor:
-        return Q4_0Tensor(
-            scales=np.ascontiguousarray(np.asarray(self.scales_t).T),
-            qs=np.ascontiguousarray(np.asarray(self.qs_t).T),
-        )
+        def untile(a):
+            a = np.asarray(a)
+            ot, x, lt = a.shape
+            return np.ascontiguousarray(a.transpose(0, 2, 1).reshape(ot * lt, x))
+
+        return Q4_0Tensor(scales=untile(self.scales_t), qs=untile(self.qs_t))
 
 
 jax.tree_util.register_pytree_node(
@@ -83,31 +105,31 @@ jax.tree_util.register_pytree_node(
 
 
 def dequantize_q4_0t_jnp(w: Q4_0TensorT, dtype=jnp.float32) -> jnp.ndarray:
-    """Dense [out, in] from the transposed layout (jnp fallback path)."""
-    qs = jnp.asarray(w.qs_t).astype(jnp.int32)  # [kh, out]
+    """Dense [out, in] from the tiled layout (jnp fallback path)."""
+    qs = jnp.asarray(w.qs_t).astype(jnp.int32)  # [ot, kh, LT]
     lo = ((qs & 15) - 8).astype(jnp.float32)
     hi = ((qs >> 4) - 8).astype(jnp.float32)
-    scales = jnp.asarray(w.scales_t).astype(jnp.float32)  # [nb, out]
-    s = jnp.repeat(scales, PACKED_PER_BLOCK, axis=0)  # [kh, out]
-    kh, out = qs.shape
-    # w_t[j, o] gives elements 2j (lo) / 2j+1 (hi) of row o
-    wt = jnp.stack([lo * s, hi * s], axis=1).reshape(kh * 2, out)
-    return wt.T.astype(dtype)
+    scales = jnp.asarray(w.scales_t).astype(jnp.float32)  # [ot, nb, LT]
+    s = jnp.repeat(scales, PACKED_PER_BLOCK, axis=1)  # [ot, kh, LT]
+    ot, kh, lt = qs.shape
+    # elements 2j (lo) / 2j+1 (hi) interleave along the in axis
+    wt = jnp.stack([lo * s, hi * s], axis=2).reshape(ot, kh * 2, lt)
+    return wt.transpose(0, 2, 1).reshape(ot * lt, kh * 2).astype(dtype)
 
 
-def _q4_0_matvec_kernel(x_even_ref, x_odd_ref, qs_ref, scales_ref, out_ref):
-    """One (out-tile, k-tile) step: dequantize [KT, TO] packed bytes in VMEM,
-    two MXU dots, accumulate into the out tile across k steps."""
-    kt, to = qs_ref.shape
-    nbt = scales_ref.shape[0]
+def _q4_0_matmul_kernel(x_even_ref, x_odd_ref, qs_ref, scales_ref, out_ref):
+    """One (n, out, k) grid step: dequantize a contiguous [KT, TO] block in
+    VMEM, two MXU dots, accumulate across k."""
+    kt, to = qs_ref.shape[1], qs_ref.shape[2]
+    nbt = scales_ref.shape[1]
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    qs = qs_ref[:].astype(jnp.int32)
+    qs = qs_ref[0].astype(jnp.int32)  # [KT, TO]
     s = jnp.broadcast_to(
-        scales_ref[:].reshape(nbt, 1, to), (nbt, PACKED_PER_BLOCK, to)
+        scales_ref[0].reshape(nbt, 1, to), (nbt, PACKED_PER_BLOCK, to)
     ).reshape(kt, to)
     acc = jnp.dot(
         x_even_ref[:], ((qs & 15) - 8).astype(jnp.float32) * s,
@@ -122,48 +144,46 @@ def _q4_0_matvec_kernel(x_even_ref, x_odd_ref, qs_ref, scales_ref, out_ref):
     out_ref[:] += acc
 
 
-def _largest_aligned_divisor(dim: int, cap: int, align: int) -> int:
-    """Largest divisor of ``dim`` that is a multiple of ``align`` and ≤ cap."""
+def _pick_kt(kh: int) -> int:
+    """Largest 128-multiple divisor of kh ≤ 2048 (f32 dequant temporaries
+    ~13 B per packed byte must fit VMEM at TO=128: 2048·128·13 ≈ 3.4 MB)."""
     best = 0
-    t = align
-    while t <= min(dim, cap):
-        if dim % t == 0:
+    t = 128
+    while t <= min(kh, 2048):
+        if kh % t == 0:
             best = t
-        t += align
+        t += 128
     return best
-
-
-def _pick_tiles(out_dim: int, kh: int) -> tuple[int, int]:
-    """(TO, KT) such that the f32 dequant temporaries (~13 B per packed
-    byte across qs/int32/f32/s buffers) stay well inside the 16 MB VMEM."""
-    kt = _largest_aligned_divisor(kh, 2048, 128)
-    if not kt:
-        return 0, 0
-    budget = 6 * 1024 * 1024 // 13  # packed bytes per (TO×KT) tile
-    to_cap = max(128, budget // kt // 128 * 128)
-    to = _largest_aligned_divisor(out_dim, min(to_cap, 512), 128)
-    return (to, kt) if to else (0, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _q4_0_matmul_call(x_even, x_odd, qs_t, scales_t, *, interpret=False):
     n = x_even.shape[0]
-    kh, out_dim = qs_t.shape
-    nb = scales_t.shape[0]
-    to, kt = _pick_tiles(out_dim, kh)
-    assert to and kt, (out_dim, kh)
+    ot, kh, lt = qs_t.shape
+    out_dim = ot * lt
+    nb = scales_t.shape[1]
+    kt = _pick_kt(kh)
+    assert kt, kh
     nbt = kt // PACKED_PER_BLOCK
-    grid = (out_dim // to, kh // kt)  # k innermost: out tile revisited across k
+    tn = n if n <= 128 else 128  # caller pads n accordingly
+    # k innermost: per out tile, blocks stream k-ascending = contiguous HBM
+    grid = (n // tn, ot, kh // kt)
     return pl.pallas_call(
-        _q4_0_matvec_kernel,
+        _q4_0_matmul_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbt, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, kt), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, kt), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, kt, lt), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, nbt, lt), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((n, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tn, lt), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -173,12 +193,6 @@ def _q4_0_matmul_call(x_even, x_odd, qs_t, scales_t, *, interpret=False):
             transcendentals=0,
         ),
     )(x_even, x_odd, qs_t, scales_t)
-
-
-#: N (activation rows) above which the jnp dense-dequant path wins (prefill
-#: is compute-bound; the matvec kernel keeps all of x in VMEM which stops
-#: paying off for long prompts).
-MAX_KERNEL_ROWS = 64
 
 
 def q4_0_matmul_pallas(
@@ -192,16 +206,14 @@ def q4_0_matmul_pallas(
     """
     qs_t = jnp.asarray(w.qs_t)
     scales_t = jnp.asarray(w.scales_t)
-    kh, out_dim = qs_t.shape
-    nb = scales_t.shape[0]
+    ot, kh, lt = qs_t.shape
+    out_dim = ot * lt
+    nb = scales_t.shape[1]
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
 
-    # tiling preconditions: tiles must exist (128-aligned divisors) and the
-    # row count small enough that x stays VMEM-resident
-    to, kt = _pick_tiles(out_dim, kh)
-    usable = bool(to) and nb % 8 == 0 and n_rows <= MAX_KERNEL_ROWS
+    usable = bool(_pick_kt(kh)) and nb % 8 == 0
     if not usable:
         wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
         y = jnp.dot(
@@ -210,7 +222,10 @@ def q4_0_matmul_pallas(
         )
         return y.reshape(*lead, out_dim).astype(compute_dtype)
 
-    n_pad = max(8, ((n_rows + 7) // 8) * 8)
+    # pad rows to the sublane tile (8) and, beyond 128, to a 128-multiple so
+    # the n-tiled grid divides evenly
+    unit = 8 if n_rows <= 128 else 128
+    n_pad = max(8, ((n_rows + unit - 1) // unit) * unit)
     if n_pad != n_rows:
         x2 = jnp.pad(x2, ((0, n_pad - n_rows), (0, 0)))
     x_even = x2[:, 0::2]

@@ -169,14 +169,17 @@ def embedding_lookup(
 ) -> jnp.ndarray:
     """``ggml_get_rows`` equivalent (``ggml.c:6760-6920``): rows of the
     (possibly quantized) embedding table, dequantized to f32 per row."""
-    from .q4_matmul_pallas import Q4_0TensorT, dequantize_q4_0t_jnp
+    from .q4_matmul_pallas import LANE_TILE, Q4_0TensorT
 
     if isinstance(w, Q4_0TensorT):
-        sub = Q4_0TensorT(
-            jnp.take(jnp.asarray(w.scales_t), tokens, axis=1),
-            jnp.take(jnp.asarray(w.qs_t), tokens, axis=1),
+        # tiled layout [out/128, X, 128]: row r lives at (r//128, :, r%128)
+        ot_idx = tokens // LANE_TILE
+        lane_idx = tokens % LANE_TILE
+        qs_rows = jnp.asarray(w.qs_t)[ot_idx, :, lane_idx]  # [N, kh]
+        sc_rows = jnp.asarray(w.scales_t)[ot_idx, :, lane_idx]  # [N, nb]
+        return dequantize_q4_0_jnp(
+            Q4_0Tensor(scales=sc_rows, qs=qs_rows), dtype=compute_dtype
         )
-        return dequantize_q4_0t_jnp(sub, dtype=compute_dtype)
     if isinstance(w, Q4_0Tensor):
         sub = Q4_0Tensor(
             jnp.take(jnp.asarray(w.scales), tokens, axis=0),

@@ -47,9 +47,11 @@ LAYER_SPECS = {
     "wq": ROW_PARALLEL,
     "wk": ROW_PARALLEL,
     "wv": ROW_PARALLEL,
+    "wqkv": ROW_PARALLEL,  # fused out-dim concat keeps the row-parallel spec
     "wo": COL_PARALLEL,
     "ffn_norm": REPLICATED_1D,
     "w1": ROW_PARALLEL,
+    "w13": ROW_PARALLEL,
     "w2": COL_PARALLEL,
     "w3": ROW_PARALLEL,
 }
@@ -72,7 +74,14 @@ def _wrap_quant(spec: P, w: Any) -> Any:
     if isinstance(w, Q4_1Tensor):
         return Q4_1Tensor(mins=spec, scales=spec, qs=spec)
     if isinstance(w, Q4_0TensorT):
-        tspec = P(spec[1] if len(spec) > 1 else None, spec[0])
+        # tiled layout [out/128, in-scaled, 128]: out shards on axis 0,
+        # in shards on axis 1
+        if spec == ROW_PARALLEL:
+            tspec = P("tp", None, None)
+        elif spec == COL_PARALLEL:
+            tspec = P(None, "tp", None)
+        else:
+            tspec = P(None, None, None)
         return Q4_0TensorT(scales_t=tspec, qs_t=tspec)
     return spec
 
@@ -119,18 +128,30 @@ def shard_cache(cache: dict, mesh: Mesh, batched: bool = False) -> dict:
     }
 
 
-def validate_tp_divisibility(cfg: ModelConfig, tp: int) -> None:
+def validate_tp_divisibility(
+    cfg: ModelConfig, tp: int, *, tiled_q4: bool = False
+) -> None:
     """TP must divide heads, ffn hidden, vocab and (for quant) keep whole
-    32-element blocks per shard."""
+    32-element blocks per shard.
+
+    With ``tiled_q4`` (the 128-row-tiled Pallas layout), row-parallel shards
+    have 128-row granularity: n_embd must divide by 128·tp; n_ff and vocab
+    are zero-padded by ``params_from_tensors(shard_pad=128*tp)`` instead.
+    """
     if cfg.n_head % tp:
         raise ValueError(f"n_head {cfg.n_head} not divisible by tp={tp}")
-    if cfg.n_ff % (32 * tp):
+    if cfg.n_ff % (32 * tp) and not tiled_q4:
         raise ValueError(
             f"n_ff {cfg.n_ff} must keep whole Q4 blocks per shard (tp={tp})"
         )
-    if cfg.n_vocab % tp:
+    if cfg.n_vocab % tp and not tiled_q4:
         raise ValueError(f"n_vocab {cfg.n_vocab} not divisible by tp={tp}")
     if cfg.n_embd % (32 * tp):
         raise ValueError(
             f"n_embd {cfg.n_embd} must keep whole Q4 blocks per shard (tp={tp})"
+        )
+    if tiled_q4 and cfg.n_embd % (128 * tp):
+        raise ValueError(
+            f"tiled Q4 layout row-shards at 128-row granularity: n_embd "
+            f"{cfg.n_embd} must divide by 128*tp={128 * tp}"
         )

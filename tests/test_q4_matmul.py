@@ -58,13 +58,34 @@ def test_kernel_interpret_single_row(q4_weight):
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_kernel_interpret_prefill_rows(q4_weight):
+    """N-tiled grid: a prefill-sized activation batch (non-multiple of 128)."""
+    t = Q4_0TensorT.from_q4_0(q4_weight)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((200, 512)).astype(np.float32)
+    y = q4_0_matmul_pallas(jnp.asarray(x), t, interpret=True)
+    y_ref = x @ q4_weight.dequantize().T
+    assert y.shape == (200, 256)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_kernel_fallback_for_unaligned_shapes():
+    # in-dim too small to tile (kh=32 < 128) → jnp fallback path
     rng = np.random.default_rng(3)
-    w = Q4_0Tensor.quantize(rng.standard_normal((96, 64)).astype(np.float32))
+    w = Q4_0Tensor.quantize(rng.standard_normal((128, 64)).astype(np.float32))
     t = Q4_0TensorT.from_q4_0(w)
     x = rng.standard_normal((2, 64)).astype(np.float32)
     y = q4_0_matmul_pallas(jnp.asarray(x), t)  # falls back to jnp path
     np.testing.assert_allclose(np.asarray(y), x @ w.dequantize().T, rtol=1e-5, atol=1e-5)
+
+
+def test_unaligned_out_dim_stays_row_major(tiny_cfg, tiny_tensors):
+    """Weights whose out dim isn't a 128-multiple can't use the tiled layout;
+    params_from_tensors keeps them row-major and the jnp path serves them."""
+    with pytest.raises(AssertionError):
+        Q4_0TensorT.from_q4_0(
+            Q4_0Tensor.quantize(np.zeros((96, 64), dtype=np.float32))
+        )
 
 
 def test_linear_dispatch_transposed_matches_rowmajor(q4_weight):

@@ -82,13 +82,19 @@ def test_sharded_q4_matches_single(mesh, tp_cfg, tp_tensors):
 
 
 def test_sharded_q4_transposed_matches_single(mesh, tp_cfg, tp_tensors):
-    cfg = tp_cfg
+    """Tiled Q4 layout row-shards at 128-tile granularity → params built
+    with shard_pad=128*tp (zero-padded n_ff/vocab, numerically exact)."""
+    # tiled row-sharding needs n_embd >= 128*tp (tile granularity): use a
+    # 1024-embd config (real models: 4096+ — fine for tp<=8... tp<=32)
+    cfg = ModelConfig.tiny(
+        n_embd=1024, n_head=8, n_vocab=256, n_mult=256, n_layer=1, n_ctx=16,
+    )
     qt = {
         k: (Q4_0Tensor.quantize(v) if v.ndim == 2 else v)
-        for k, v in tp_tensors.items()
+        for k, v in model_lib.random_params(cfg, seed=2).items()
     }
     params = model_lib.params_from_tensors(
-        qt, cfg, param_dtype=jnp.float32, transpose_q4=True
+        qt, cfg, param_dtype=jnp.float32, transpose_q4=True, shard_pad=128 * 8
     )
     tokens = [2, 11, 40]
     base = _run(params, model_lib.init_cache(cfg), cfg, tokens)
@@ -103,7 +109,9 @@ def test_sharded_q4_transposed_matches_single(mesh, tp_cfg, tp_tensors):
 def test_param_placement_follows_split_map(mesh, tp_cfg, tp_tensors):
     """wq rows sharded over tp; wo columns sharded; norms replicated —
     exactly the file format's split_type policy (SURVEY.md §2.6)."""
-    cfg = tp_cfg
+    import dataclasses
+
+    cfg = dataclasses.replace(tp_cfg, fuse_layer_matmuls=False)
     params = model_lib.params_from_tensors(tp_tensors, cfg, param_dtype=jnp.float32)
     params_sh = sh.shard_params(params, mesh)
     wq = params_sh["layers"][0]["wq"]
