@@ -152,6 +152,16 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
     rows produce zero activations and padded in-columns consume zeros — the
     result is bit-identical on the original span.
     """
+    from ..ops.q4_matmul_pallas import Q4_0TensorT
+
+    if isinstance(a, Q4_0TensorT):
+        rows, cols = a.shape
+        if (out_to or rows) == rows and (in_to or cols) == cols:
+            return a
+        raise ValueError(
+            "shard padding of pre-tiled Q4_0TensorT params is unsupported; "
+            "pad before tiling (pass row-major tensors with shard_pad)"
+        )
     if isinstance(a, Q4_0Tensor):
         rows, cols = a.shape
         ro = (out_to or rows) - rows

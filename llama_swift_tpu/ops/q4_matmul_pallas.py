@@ -195,6 +195,155 @@ def _q4_0_matmul_call(x_even, x_odd, qs_t, scales_t, *, interpret=False):
     )(x_even, x_odd, qs_t, scales_t)
 
 
+# ---------------------------------------------------------------------------
+# Integer decode kernel: int8 MXU dots, exact ggml_vec_dot_q4_0 semantics
+# ---------------------------------------------------------------------------
+#
+# The dequant kernel above is VPU-bound: ~6-10 vector ops per weight
+# (mask/shift/convert/scale) against a speed-of-light budget of ~3 — it cannot
+# reach the HBM roofline.  The decode kernel below restructures the math so
+# the nibbles never leave the int8 domain:
+#
+#   y[o] = Σ_b d_x[b]·d_w[b,o]·Σ_{j∈b} qx[j]·(qw[j,o]-8)
+#        = Σ_b d_x[b]·d_w[b,o]·(P[b,o] - 8·S[b]),   P = Σ_{j∈b} qx[j]·qw[j,o]
+#
+# P for ALL blocks at once is ONE int8×int8 MXU matmul against a
+# block-diagonal expansion X' of the quantized activations
+# (X'[b,j] = qx[j] iff j ∈ block b, built once per token outside the kernel).
+# In-kernel VPU work is just the nibble mask/shift (int8, ~1 op/weight) and
+# O(blocks·out) scale math — within the roofline budget.  This is *exactly*
+# the reference's int4×int4 dot with f32 block-scale products
+# (``ggml.c:1558-1578``), including integer accumulation.
+
+
+def _q4_0_int_kernel(xe_ref, xo_ref, dxc_ref, c2c_ref, qs_ref, scales_ref, out_ref):
+    """One (out, k) step: int8 dots against the block-diagonal activation.
+
+    xe/xo: int8 [N·NBT, KT] (block-diagonal, even/odd planes);
+    dxc: f32 [N·NBT, TO-bcast] per-block activation scales;
+    c2c: f32 [N·NBT, TO-bcast] correction 8·d_x·(S_e+S_o);
+    qs: u8 [1, KT, TO]; scales: f32 [1, NBT, TO]; out: f32 [N, TO].
+    """
+    kt, to = qs_ref.shape[1], qs_ref.shape[2]
+    nbt = scales_ref.shape[1]
+    n = out_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[0]
+    lo = (qs & 15).astype(jnp.int8)
+    hi = (qs >> 4).astype(jnp.int8)
+    pe = jax.lax.dot_general(
+        xe_ref[:], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    po = jax.lax.dot_general(
+        xo_ref[:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # rows are block-major [(b, n)] so a k-range of blocks is contiguous:
+    # z[b,n,o] = s[b,o] · (d_x[n,b]·(Pe+Po)[b,n,o] − 8·d_x·S [b,n])
+    p = (pe + po).astype(jnp.float32).reshape(nbt, n, to)
+    dx = dxc_ref[:].reshape(nbt, n, to)
+    c2 = c2c_ref[:].reshape(nbt, n, to)
+    contrib = (scales_ref[0][:, None, :] * (dx * p - c2)).sum(axis=0)
+    out_ref[:] += contrib
+
+
+def quantize_activations_q4_0_int(x: jnp.ndarray):
+    """Per-32-block Q4_0 activation quantization, integer form.
+
+    x: [N, IN] → (qx int8 [N, IN] in [-7, 7], dx f32 [N, IN/32]).
+    Scalar reference semantics (amax/7, round half away — ``ggml.c:568-601``).
+    """
+    n, in_dim = x.shape
+    nb = in_dim // QK
+    xb = x.astype(jnp.float32).reshape(n, nb, QK)
+    amax = jnp.max(jnp.abs(xb), axis=-1)
+    d = amax / 7.0
+    inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    q = jnp.trunc(xb * inv[..., None] + jnp.where(xb >= 0, 0.5, -0.5))
+    return q.reshape(n, in_dim).astype(jnp.int8), d
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_int_matmul_call(qx, dx, qs_t, scales_t, *, interpret=False):
+    """qx int8 [N, IN], dx f32 [N, NB] → y f32 [N, OUT]."""
+    n, in_dim = qx.shape
+    ot, kh, lt = qs_t.shape
+    out_dim = ot * lt
+    nb = in_dim // QK
+    kt = _pick_kt(kh)
+    assert kt, kh
+    nbt = kt // PACKED_PER_BLOCK
+
+    # block-diagonal expansion (once per call, reused across all out tiles),
+    # block-major rows [(b, n)] so k-tiles slice contiguous block ranges:
+    # X'[b, n, j] = qx_plane[n, j] iff j // 16 == b
+    j_blocks = jax.lax.broadcasted_iota(jnp.int32, (nb, kh), 1) // PACKED_PER_BLOCK
+    b_rows = jax.lax.broadcasted_iota(jnp.int32, (nb, kh), 0)
+    diag = (j_blocks == b_rows)[:, None, :]  # [nb, 1, kh]
+
+    def expand(plane):  # [N, kh] int8 -> [nb·N, kh] int8, block-major
+        e = jnp.where(diag, plane[None, :, :], jnp.int8(0))
+        return e.reshape(nb * n, kh)
+
+    xe = expand(qx[:, 0::2])
+    xo = expand(qx[:, 1::2])
+    # per-block correction: 8·d_x·(Σ qx over the block, both planes)
+    s_all = qx.astype(jnp.float32).reshape(n, nb, QK).sum(axis=-1)
+    c2 = 8.0 * dx * s_all  # [N, nb]
+    # pre-broadcast small per-block vectors over the lane tile, block-major
+    dxc = jnp.broadcast_to(dx.T[:, :, None], (nb, n, lt)).reshape(nb * n, lt)
+    c2c = jnp.broadcast_to(c2.T[:, :, None], (nb, n, lt)).reshape(nb * n, lt)
+
+    grid = (ot, kh // kt)
+    return pl.pallas_call(
+        _q4_0_int_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n * nbt, kt), lambda j, k: (k, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * nbt, kt), lambda j, k: (k, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * nbt, lt), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * nbt, lt), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt, lt), lambda j, k: (j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbt, lt), lambda j, k: (j, k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, lt), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * nb * out_dim * PACKED_PER_BLOCK,
+            bytes_accessed=out_dim * kh + out_dim * nb * 4 + n * out_dim * 4,
+            transcendentals=0,
+        ),
+    )(xe, xo, dxc, c2c, qs_t, scales_t)
+
+
+#: use the integer kernel for row counts up to this (the block-diagonal
+#: expansion multiplies MXU flops ~16·N×; decode and small batches win)
+MAX_INT_KERNEL_ROWS = 4
+
+
+def q4_0_int_matmul_pallas(
+    x: jnp.ndarray, w: Q4_0TensorT, *, compute_dtype=jnp.float32, interpret=False
+) -> jnp.ndarray:
+    """Integer-exact Q4_0 matmul: quantizes activations per 32-block and
+    runs the int8 MXU kernel — the reference's int4×int4 dot, end to end."""
+    qs_t = jnp.asarray(w.qs_t)
+    scales_t = jnp.asarray(w.scales_t)
+    ot, kh, lt = qs_t.shape
+    out_dim = ot * lt
+    lead = x.shape[:-1]
+    n_rows = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
+    qx, dx = quantize_activations_q4_0_int(x2)
+    y = _q4_0_int_matmul_call(qx, dx, qs_t, scales_t, interpret=interpret)
+    return y.reshape(*lead, out_dim).astype(compute_dtype)
+
+
 def q4_0_matmul_pallas(
     x: jnp.ndarray, w: Q4_0TensorT, *, compute_dtype=jnp.float32, interpret=False
 ) -> jnp.ndarray:

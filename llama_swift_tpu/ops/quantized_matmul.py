@@ -116,12 +116,27 @@ def linear(
     Equivalent of ``ggml_mul_mat(w, x)`` (``ggml.c:3623-3646``) for every
     weight dtype the reference supports.
     """
-    from .q4_matmul_pallas import Q4_0TensorT, dequantize_q4_0t_jnp, q4_0_matmul_pallas
+    from .q4_matmul_pallas import (
+        MAX_INT_KERNEL_ROWS,
+        Q4_0TensorT,
+        dequantize_q4_0t_jnp,
+        q4_0_int_matmul_pallas,
+        q4_0_matmul_pallas,
+    )
 
     if isinstance(w, Q4_0TensorT):
+        use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
+        n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        kh = w.qs_t.shape[1]
+        if (
+            use_pallas and quantize_activations
+            and n_rows <= MAX_INT_KERNEL_ROWS and kh % 128 == 0
+        ):
+            # integer decode kernel: exact int4×int4 reference semantics
+            return q4_0_int_matmul_pallas(x, w, compute_dtype=compute_dtype)
         if quantize_activations:
             x = fake_quantize_q4_0(x)
-        if prefer_pallas if prefer_pallas is not None else _on_tpu():
+        if use_pallas:
             return q4_0_matmul_pallas(x, w, compute_dtype=compute_dtype)
         wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
         return jnp.dot(
