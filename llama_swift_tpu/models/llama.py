@@ -250,7 +250,8 @@ def random_params(
 
 
 def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cache:
-    """Dense per-sequence KV cache [L, n_ctx, H, Dh] (k stored post-rope).
+    """Dense per-sequence KV cache [L, H, n_ctx, Dh], head-major so each
+    head's history is contiguous (k stored post-rope).
 
     Replaces the reference's two 1-D f32 tensors of n_layer*n_ctx*n_embd
     elements (``LlamaPredictOperation.mm:289-304``).  ``batch`` adds a
@@ -258,7 +259,7 @@ def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cac
     """
     if dtype is None:
         dtype = jnp.dtype(cfg.kv_cache_dtype)
-    shape = (cfg.n_layer, cfg.n_ctx, cfg.n_head, cfg.head_dim)
+    shape = (cfg.n_layer, cfg.n_head, cfg.n_ctx, cfg.head_dim)
     if batch is not None:
         shape = (batch,) + shape
     return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
@@ -272,16 +273,16 @@ def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cac
 def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
     """Causal attention over the full cache buffer.
 
-    q: [N, H, Dh]; keys/values: [n_ctx, H, Dh].  Allowed keys for query i:
-    j <= n_past + i — exactly ``ggml_diag_mask_inf(KQ_scaled, n_past)``
-    (``ggml.c:6921-6981``); slots beyond the high-water mark are never
-    attended, so stale cache contents are harmless.
+    q: [N, H, Dh]; keys/values: [H, n_ctx, Dh] (head-major).  Allowed keys
+    for query i: j <= n_past + i — exactly ``ggml_diag_mask_inf(KQ_scaled,
+    n_past)`` (``ggml.c:6921-6981``); slots beyond the high-water mark are
+    never attended, so stale cache contents are harmless.
     """
     N = q.shape[0]
     d = q.shape[-1]
     scale = 1.0 / np.sqrt(float(d))  # 1/sqrt(n_embd/n_head), .mm:620
     scores = jnp.einsum(
-        "nhd,jhd->hnj", q.astype(jnp.float32), keys.astype(jnp.float32),
+        "nhd,hjd->hnj", q.astype(jnp.float32), keys.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) * scale
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (N, n_ctx), 0)
@@ -293,7 +294,7 @@ def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
     p = jnp.exp(scores - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     ctx = jnp.einsum(
-        "hnj,jhd->nhd", p, values.astype(jnp.float32),
+        "hnj,hjd->nhd", p, values.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
     return ctx.astype(compute_dtype)
@@ -346,10 +347,10 @@ def forward(
         q = rope(q, positions, cfg.head_dim)
         k = rope(k, positions, cfg.head_dim)
         ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype)[None], (il, n_past, 0, 0)
+            ck, k.astype(ck.dtype).transpose(1, 0, 2)[None], (il, 0, n_past, 0)
         )
         cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype)[None], (il, n_past, 0, 0)
+            cv, v.astype(cv.dtype).transpose(1, 0, 2)[None], (il, 0, n_past, 0)
         )
         keys = ck[il]
         values = cv[il]

@@ -1,0 +1,123 @@
+"""Decode attention kernels.
+
+The reference has a fused ``ggml_flash_attn`` (``Sources/cpp/ggml.c:7753-
+8237``) that the llama path never uses (SURVEY.md §5.7); here the fused
+flash-decode kernel is real and used: single-query attention over the
+head-major KV cache with an online-softmax accumulator, processed in
+context chunks so long contexts never materialize a full score row in HBM.
+
+Layout: cache [H, n_ctx, Dh] (head-major — each head's history contiguous,
+see ``models/llama.init_cache``).  Grid (H, ctx_chunks): per head, chunks
+stream contiguously; the n_past mask is applied per chunk via iota compare
+(slots beyond the high-water mark contribute exp(-inf)=0, so stale cache
+contents are harmless — same invariant as the XLA path).
+
+The XLA einsum path (``models/llama._attention``) remains the default for
+prefill and short contexts; this kernel serves long-context decode where
+score-row materialization and non-fused softmax start to cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref):
+    """One (head, chunk) step of online-softmax single-query attention.
+
+    q: [1, Dh]; k/v chunk: [1, C, Dh]; out: [1, Dh];
+    scratch m/l: [1, 128] (col 0 live), acc: [1, Dh].
+    """
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    chunk = k_ref.shape[1]
+    dh = q_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_past = npast_ref[0]
+    scale = 1.0 / np.sqrt(float(dh))
+    k = k_ref[0].astype(jnp.float32)  # [C, Dh]
+    s = jax.lax.dot_general(
+        q_ref[:].astype(jnp.float32), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [1, C]
+    j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    s = jnp.where(j <= n_past, s, NEG_INF)
+
+    m_prev = m_ref[0, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [1, C]
+    l_ref[0, 0] = l_ref[0, 0] * alpha + jnp.sum(p)
+    pv = jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, Dh]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[0, 0] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] / l_ref[0, 0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def flash_decode_attention(
+    q: jnp.ndarray,  # [H, Dh] single query, post-rope
+    keys: jnp.ndarray,  # [H, n_ctx, Dh]
+    values: jnp.ndarray,  # [H, n_ctx, Dh]
+    n_past: jnp.ndarray,  # scalar int32: attend slots j <= n_past
+    *,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-query attention; returns [H, Dh] f32."""
+    h, n_ctx, dh = keys.shape
+    chunk = min(chunk, n_ctx)
+    assert n_ctx % chunk == 0, (n_ctx, chunk)
+    grid = (h, n_ctx // chunk)
+    npast_arr = jnp.full((1,), n_past, dtype=jnp.int32)
+    return pl.pallas_call(
+        _flash_decode_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dh), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, dh), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(npast_arr, q, keys, values)
+
+
+def reference_decode_attention(q, keys, values, n_past):
+    """Unfused reference for tests: q [H, Dh], cache [H, n_ctx, Dh]."""
+    h, n_ctx, dh = keys.shape
+    s = jnp.einsum("hd,hjd->hj", q.astype(jnp.float32), keys.astype(jnp.float32))
+    s = s / np.sqrt(float(dh))
+    j = jnp.arange(n_ctx)[None, :]
+    s = jnp.where(j <= n_past, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("hj,hjd->hd", p, values.astype(jnp.float32))

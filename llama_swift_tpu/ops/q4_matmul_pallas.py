@@ -232,7 +232,9 @@ def _q4_0_int_kernel(xe_ref, xo_ref, dxc_ref, c2c_ref, qs_ref, scales_ref, out_r
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    qs = qs_ref[0]
+    # nibble split: Mosaic has no u8 shift (arith.shrui unsupported) — mask
+    # and shift in i32, downcast to i8 for the MXU operands
+    qs = qs_ref[0].astype(jnp.int32)
     lo = (qs & 15).astype(jnp.int8)
     hi = (qs >> 4).astype(jnp.int8)
     pe = jax.lax.dot_general(

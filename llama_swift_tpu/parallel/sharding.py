@@ -99,11 +99,11 @@ def param_specs(params: dict) -> dict:
 
 
 def cache_spec(batched: bool = False) -> dict:
-    """KV cache [L, n_ctx, H, Dh] (+ leading B when batched): heads over tp."""
+    """KV cache [L, H, n_ctx, Dh] (+ leading B when batched): heads over tp."""
     if batched:
-        return {"k": P("dp", None, None, "tp", None),
-                "v": P("dp", None, None, "tp", None)}
-    return {"k": P(None, None, "tp", None), "v": P(None, None, "tp", None)}
+        return {"k": P("dp", None, "tp", None, None),
+                "v": P("dp", None, "tp", None, None)}
+    return {"k": P(None, "tp", None, None), "v": P(None, "tp", None, None)}
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

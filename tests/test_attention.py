@@ -1,0 +1,56 @@
+"""Flash-decode attention kernel tests (interpret mode) vs the unfused
+reference — the reference's ggml_flash_attn done right and actually used."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_swift_tpu.ops.attention import (
+    flash_decode_attention,
+    reference_decode_attention,
+)
+
+
+@pytest.fixture()
+def qkv():
+    rng = np.random.default_rng(0)
+    H, C, D = 4, 256, 128
+    q = jnp.asarray(rng.standard_normal((H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((H, C, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((H, C, D)).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize("n_past", [0, 5, 127, 255])
+def test_flash_matches_reference(qkv, n_past):
+    q, k, v = qkv
+    out = flash_decode_attention(q, k, v, jnp.int32(n_past), chunk=128, interpret=True)
+    ref = reference_decode_attention(q, k, v, n_past)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_single_chunk(qkv):
+    q, k, v = qkv
+    out = flash_decode_attention(q, k, v, jnp.int32(100), chunk=256, interpret=True)
+    ref = reference_decode_attention(q, k, v, 100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_ignores_stale_slots(qkv):
+    """Garbage beyond n_past must not affect the result."""
+    q, k, v = qkv
+    k2 = k.at[:, 50:, :].set(1e6)
+    v2 = v.at[:, 50:, :].set(-1e6)
+    out = flash_decode_attention(q, k2, v2, jnp.int32(49), chunk=128, interpret=True)
+    ref = reference_decode_attention(q, k, v, 49)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_bf16_cache(qkv):
+    q, k, v = qkv
+    out = flash_decode_attention(
+        q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), jnp.int32(200),
+        chunk=128, interpret=True,
+    )
+    ref = reference_decode_attention(q, k, v, 200)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)

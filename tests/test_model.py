@@ -35,9 +35,11 @@ def test_prefill_matches_numpy_reference(tiny_cfg, tiny_tensors):
     np.testing.assert_allclose(
         np.asarray(logits), ref_logits, rtol=2e-4, atol=2e-4
     )
-    # KV cache contents must match too (post-rope keys)
+    # KV cache contents must match too (post-rope keys); production cache is
+    # head-major [L, H, ctx, Dh], reference buffers are [L, ctx, H, Dh]
     np.testing.assert_allclose(
-        np.asarray(cache["k"])[:, : len(tokens)], kv_k[:, : len(tokens)],
+        np.asarray(cache["k"]).transpose(0, 2, 1, 3)[:, : len(tokens)],
+        kv_k[:, : len(tokens)],
         rtol=2e-4, atol=2e-4,
     )
 
