@@ -15,8 +15,12 @@ don't matter for bandwidth measurements; correctness is covered by tests/).
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent compile cache: repeat runs skip the (slow, remote) TPU compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
@@ -74,6 +78,9 @@ def main():
     ap.add_argument("--size", default="7b", choices=["tiny", "1b", "7b", "13b"])
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: batched greedy decode (continuous-batching "
+                         "inner loop); reports aggregate tok/s")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
     args = ap.parse_args()
 
@@ -97,27 +104,68 @@ def main():
 
     tensors, weight_bytes = build_synthetic_q4_0_params(cfg)
     params = model_lib.params_from_tensors(tensors, cfg, param_dtype=jnp.float32)
-    cache = model_lib.init_cache(cfg, dtype=jnp.float32)
 
-    token = jnp.asarray(7, dtype=jnp.int32)
-    # warmup/compile the scanned decode loop (greedy, fully on device — the
-    # host-driven sampled loop is measured separately by the runner stats)
-    toks, cache = model_lib.greedy_decode_loop(
-        params, token, jnp.int32(0), cache, cfg, args.steps
-    )
-    toks.block_until_ready()
+    import functools
 
-    t0 = time.perf_counter()
-    toks, cache = model_lib.greedy_decode_loop(
-        params, toks[-1], jnp.int32(args.steps), cache, cfg, args.steps
-    )
-    toks.block_until_ready()
-    dt = time.perf_counter() - t0
+    import jax
 
-    tok_per_s = args.steps / dt
+    if args.batch > 1:
+        # batched greedy decode under one scan: the continuous-batching
+        # engine's inner loop (runtime/engine.batched_decode) at full speed
+        B = args.batch
+        cache = model_lib.init_cache(cfg, dtype=jnp.float32, batch=B)
+
+        @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
+        def batched_loop(params, tokens, n_pasts, cache, steps):
+            def one(token, n_past, c):
+                logits, c = model_lib.forward(params, token[None], n_past, c, cfg)
+                return logits[0], c
+
+            def body(carry, _):
+                tokens, n_pasts, cache = carry
+                logits, cache = jax.vmap(one, in_axes=(0, 0, 0))(tokens, n_pasts, cache)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, n_pasts + 1, cache), nxt
+
+            (tokens, n_pasts, cache), out = jax.lax.scan(
+                body, (tokens, n_pasts, cache), None, length=steps
+            )
+            return out, cache
+
+        tokens = jnp.full((B,), 7, dtype=jnp.int32)
+        n_pasts = jnp.zeros((B,), dtype=jnp.int32)
+        out, cache = batched_loop(params, tokens, n_pasts, cache, args.steps)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        out, cache = batched_loop(
+            params, out[-1], n_pasts + args.steps, cache, args.steps
+        )
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        tok_per_s = args.steps * B / dt
+        metric = f"decode_tok_per_s_{args.size}_q4_0_batch{B}"
+    else:
+        cache = model_lib.init_cache(cfg, dtype=jnp.float32)
+        token = jnp.asarray(7, dtype=jnp.int32)
+        # warmup/compile the scanned decode loop (greedy, fully on device —
+        # the host-driven sampled loop is measured by the runner stats)
+        toks, cache = model_lib.greedy_decode_loop(
+            params, token, jnp.int32(0), cache, cfg, args.steps
+        )
+        toks.block_until_ready()
+
+        t0 = time.perf_counter()
+        toks, cache = model_lib.greedy_decode_loop(
+            params, toks[-1], jnp.int32(args.steps), cache, cfg, args.steps
+        )
+        toks.block_until_ready()
+        dt = time.perf_counter() - t0
+        tok_per_s = args.steps / dt
+        metric = f"decode_tok_per_s_{args.size}_q4_0_batch1"
+
     sol_tok_per_s = args.hbm_gbps * 1e9 / weight_bytes
     result = {
-        "metric": f"decode_tok_per_s_{args.size}_q4_0_batch1",
+        "metric": metric,
         "value": round(tok_per_s, 3),
         "unit": "tok/s",
         "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),

@@ -36,6 +36,13 @@ def main(argv=None) -> int:
     ap.add_argument("--repeat-penalty", type=float, default=1.30)
     ap.add_argument("--repeat-last-n", type=int, default=64)
     ap.add_argument("--reverse-prompt", default=None)
+    ap.add_argument("--color", action="store_true",
+                    help="distinguish prompt echo (bold) from generated text "
+                         "(green), like the reference's use_color flag")
+    ap.add_argument("--chunked-prefill", action="store_true",
+                    help="consume the prompt in n_batch chunks (reference "
+                         "behavior) instead of one padded prefill")
+    ap.add_argument("--n-batch", type=int, default=8)
     args = ap.parse_args(argv)
 
     if not args.model:
@@ -49,9 +56,11 @@ def main(argv=None) -> int:
         num_tokens=args.n_tokens,
         reverse_prompt=args.reverse_prompt,
         n_ctx=args.n_ctx,
+        chunked_prefill=args.chunked_prefill,
         sampling=SamplingConfig(
             seed=args.seed, top_k=args.top_k, top_p=args.top_p, temp=args.temp,
             repeat_penalty=args.repeat_penalty, repeat_last_n=args.repeat_last_n,
+            n_batch=args.n_batch,
         ),
     )
     runner = LlamaRunner(args.model, n_ctx=args.n_ctx)
@@ -74,16 +83,26 @@ def main(argv=None) -> int:
 
     def run_one(prompt: str) -> None:
         failed = {}
+        seen = {"n": 0}
 
         def on_state_or_fail(state: RunState):
             if state == RunState.FAILED:
                 failed["x"] = True
             on_state(state)
 
+        def emit(t: str):
+            if args.color:
+                n_prompt = runner.stats.get("prompt_tokens", 0)
+                style = "\033[1m" if seen["n"] < n_prompt else "\033[32m"
+                print(f"{style}{t}\033[0m", end="", flush=True)
+            else:
+                print(t, end="", flush=True)
+            seen["n"] += 1
+
         runner.run_with_callback(
             prompt,
             config,
-            token_handler=lambda t: print(t, end="", flush=True),
+            token_handler=emit,
             state_change_handler=on_state_or_fail,
         )
         if failed:

@@ -175,6 +175,10 @@ class RunnerConfig:
     reverse_prompt: Optional[str] = None
     sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
     n_ctx: int = 512
+    #: consume the prompt in chunks of ``sampling.n_batch`` like the
+    #: reference's batched prompt loop (.mm:878-889; sans its off-by-one),
+    #: instead of one padded prefill. Same numerics; more, smaller steps.
+    chunked_prefill: bool = False
 
     def resolved_sampling(self) -> SamplingConfig:
         """numTokens overrides n_predict, like the bridge translation

@@ -155,11 +155,27 @@ class LlamaRunner:
 
             t0 = time.perf_counter()
             cache = model_lib.init_cache(cfg)
-            padded, length = model_lib.pad_tokens(prompt_ids, self.prefill_bucket)
-            logits_all, cache = model_lib.prefill(
-                self.params, jnp.asarray(padded), jnp.int32(0), cache, cfg
-            )
-            logits = np.asarray(logits_all[length - 1])
+            if config.chunked_prefill:
+                # reference-style n_batch chunked prompt consumption
+                # (.mm:878-889); one compiled shape, reused per chunk
+                nb = max(1, sampling.n_batch)
+                n_done = 0
+                logits = None
+                while n_done < len(prompt_ids):
+                    chunk = prompt_ids[n_done : n_done + nb]
+                    padded, length = model_lib.pad_tokens(chunk, nb)
+                    logits_all, cache = model_lib.prefill(
+                        self.params, jnp.asarray(padded), jnp.int32(n_done),
+                        cache, cfg,
+                    )
+                    logits = np.asarray(logits_all[length - 1])
+                    n_done += len(chunk)
+            else:
+                padded, length = model_lib.pad_tokens(prompt_ids, self.prefill_bucket)
+                logits_all, cache = model_lib.prefill(
+                    self.params, jnp.asarray(padded), jnp.int32(0), cache, cfg
+                )
+                logits = np.asarray(logits_all[length - 1])
             self.stats["t_prefill_s"] = time.perf_counter() - t0
             self.stats["prompt_tokens"] = len(prompt_ids)
 

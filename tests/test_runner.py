@@ -171,3 +171,21 @@ def test_stats_reported(model_path):
     assert runner.stats["prompt_tokens"] > 0
     assert runner.stats["generated_tokens"] == 8
     assert runner.stats["t_load_s"] >= 0
+
+
+def test_chunked_prefill_matches_single(model_path):
+    """n_batch chunked prompt consumption (reference .mm:878-889) must give
+    the same generation as one padded prefill."""
+    from llama_swift_tpu.config import RunnerConfig, SamplingConfig
+
+    runner = LlamaRunner(model_path, n_ctx=64, prefill_bucket=8)
+    single = [e.token for e in runner.run_events(
+        "the rain in spain", RunnerConfig(
+            num_tokens=6, sampling=SamplingConfig(seed=5)))
+        if e.kind == EventKind.OUTPUT_TOKEN]
+    chunked = [e.token for e in runner.run_events(
+        "the rain in spain", RunnerConfig(
+            num_tokens=6, chunked_prefill=True,
+            sampling=SamplingConfig(seed=5, n_batch=3)))
+        if e.kind == EventKind.OUTPUT_TOKEN]
+    assert single == chunked
