@@ -85,6 +85,10 @@ class ModelConfig:
     #: KV cache dtype ("float32" matches the reference's f32 cache,
     #: .mm:297-304; "bfloat16" halves attention HBM traffic)
     kv_cache_dtype: str = "float32"
+    #: use the fused flash-decode attention kernel (ops/attention.py) for
+    #: single-token steps; default off — the XLA path is fine at short
+    #: contexts, the kernel pays off as n_ctx grows
+    use_flash_decode: bool = False
 
     @property
     def n_ff(self) -> int:

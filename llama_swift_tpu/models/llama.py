@@ -61,6 +61,7 @@ def params_from_tensors(
     param_dtype: Optional[Any] = None,
     transpose_q4: Optional[bool] = None,
     shard_pad: int = 1,
+    stack_layers: Optional[bool] = None,
 ) -> Params:
     """Arrange loader output (``formats/ggml.py``) into the model pytree.
 
@@ -79,12 +80,20 @@ def params_from_tensors(
     shard count).  Numerically exact: padded rows/blocks have zero scales,
     contribute zero activations, and padded logits are sliced off in
     ``forward``.
+
+    ``stack_layers`` (default on): store layer weights stacked along a
+    leading layer axis and run the layer loop as ``lax.scan`` — the traced
+    program is one layer instead of n_layer copies (compile time drops
+    ~n_layer×; the per-token graph-rebuild pathology of the reference,
+    inverted).
     """
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if param_dtype is None:
         param_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     if transpose_q4 is None:
         transpose_q4 = on_tpu
+    if stack_layers is None:
+        stack_layers = True
 
     from ..ops.q4_matmul_pallas import Q4_0TensorT
 
@@ -142,7 +151,16 @@ def params_from_tensors(
             layer["w1"] = cvt(_pad_weight(get("w1"), out_to=ff_pad))
             layer["w3"] = cvt(_pad_weight(get("w3"), out_to=ff_pad))
         params["layers"].append(layer)
+
+    if stack_layers:
+        params["layers_stacked"] = stack_layer_params(params.pop("layers"))
     return params
+
+
+def stack_layer_params(layers: list) -> dict:
+    """Stack per-layer pytrees along a new leading layer axis (for the
+    ``lax.scan`` layer loop).  Quantized containers stack leaf-wise."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
 def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
@@ -324,14 +342,10 @@ def forward(
 
     x = qmm.embedding_lookup(tokens, params["tok_embeddings"], compute_dtype=compute_dtype)
 
-    # Thread the whole [L, n_ctx, H, Dh] buffers through the layer loop so
-    # XLA (with buffer donation in the jitted wrappers) updates the cache in
-    # place — a per-token full-cache copy would double decode HBM traffic.
-    ck, cv = cache["k"], cache["v"]
-    D = cfg.n_embd
-    for il in range(cfg.n_layer):
-        layer = params["layers"][il]
-        # attention block
+    def layer_fn(x, layer, k_cache, v_cache):
+        """One transformer layer; k/v_cache: [H, n_ctx, Dh] for this layer.
+        Returns (x, updated k_cache, v_cache)."""
+        D = cfg.n_embd
         h = norm(x, layer["attention_norm"], cfg.norm_type, cfg.norm_eps)
         if "wqkv" in layer:
             qkv = lin(h, layer["wqkv"])
@@ -346,15 +360,23 @@ def forward(
         # .mm:528, ignoring the file's n_rot field)
         q = rope(q, positions, cfg.head_dim)
         k = rope(k, positions, cfg.head_dim)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype).transpose(1, 0, 2)[None], (il, 0, n_past, 0)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype).transpose(1, 0, 2), (0, n_past, 0)
         )
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype).transpose(1, 0, 2)[None], (il, 0, n_past, 0)
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype).transpose(1, 0, 2), (0, n_past, 0)
         )
-        keys = ck[il]
-        values = cv[il]
-        ctx = _attention(q, keys, values, n_past, cfg.n_ctx, compute_dtype)
+        if cfg.use_flash_decode and N == 1:
+            from ..ops.attention import flash_decode_attention
+
+            chunk = cfg.n_ctx if cfg.n_ctx <= 512 else (
+                512 if cfg.n_ctx % 512 == 0 else cfg.n_ctx
+            )
+            ctx = flash_decode_attention(
+                q[0], k_cache, v_cache, n_past, chunk=chunk
+            )[None].astype(compute_dtype)
+        else:
+            ctx = _attention(q, k_cache, v_cache, n_past, cfg.n_ctx, compute_dtype)
         x = x + lin(ctx.reshape(N, cfg.n_embd), layer["wo"])
         # feed-forward block: silu(w1·h) * (w3·h) → w2   (.mm:658-684)
         h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
@@ -368,6 +390,28 @@ def forward(
             g3 = lin(h, layer["w3"])
         gate = jax.nn.silu(g1.astype(jnp.float32)).astype(compute_dtype)
         x = x + lin(gate * g3, layer["w2"])
+        return x, k_cache, v_cache
+
+    if "layers_stacked" in params:
+        # one traced layer, scanned over stacked weights + per-layer cache
+        # planes (compile time ∝ 1 layer, not n_layer)
+        def scan_body(x, xs):
+            layer, kc, vc = xs
+            x, kc, vc = layer_fn(x, layer, kc, vc)
+            return x, (kc, vc)
+
+        x, (ck, cv) = jax.lax.scan(
+            scan_body, x, (params["layers_stacked"], cache["k"], cache["v"])
+        )
+    else:
+        ck, cv = cache["k"], cache["v"]
+        new_k, new_v = [], []
+        for il in range(cfg.n_layer):
+            x, kc, vc = layer_fn(x, params["layers"][il], ck[il], cv[il])
+            new_k.append(kc)
+            new_v.append(vc)
+        ck = jnp.stack(new_k)
+        cv = jnp.stack(new_v)
 
     x = norm(x, params["norm"], cfg.norm_type, cfg.norm_eps)
     logits = lin(x, params["output"]).astype(jnp.float32)

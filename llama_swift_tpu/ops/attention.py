@@ -84,9 +84,12 @@ def flash_decode_attention(
     n_past: jnp.ndarray,  # scalar int32: attend slots j <= n_past
     *,
     chunk: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused single-query attention; returns [H, Dh] f32."""
+    if interpret is None:
+        # auto: interpreter on non-TPU backends so the flag works everywhere
+        interpret = jax.default_backend() not in ("tpu", "axon")
     h, n_ctx, dh = keys.shape
     chunk = min(chunk, n_ctx)
     assert n_ctx % chunk == 0, (n_ctx, chunk)

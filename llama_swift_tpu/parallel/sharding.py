@@ -63,16 +63,20 @@ TOP_SPECS = {
 }
 
 
-def _wrap_quant(spec: P, w: Any) -> Any:
+def _wrap_quant(spec: P, w: Any, stacked: bool = False) -> Any:
     """Expand a 2-D weight spec onto the leaves of a quantized tensor.
 
-    Transposed (contraction-major) Q4 layouts swap the spec axes."""
+    Transposed (contraction-major) Q4 layouts swap the spec axes; ``stacked``
+    prepends a replicated layer axis (scan-over-layers param layout)."""
     from ..ops.q4_matmul_pallas import Q4_0TensorT
 
+    def lift(s: P) -> P:
+        return P(None, *tuple(s)) if stacked else s
+
     if isinstance(w, Q4_0Tensor):
-        return Q4_0Tensor(scales=spec, qs=spec)
+        return Q4_0Tensor(scales=lift(spec), qs=lift(spec))
     if isinstance(w, Q4_1Tensor):
-        return Q4_1Tensor(mins=spec, scales=spec, qs=spec)
+        return Q4_1Tensor(mins=lift(spec), scales=lift(spec), qs=lift(spec))
     if isinstance(w, Q4_0TensorT):
         # tiled layout [out/128, in-scaled, 128]: out shards on axis 0,
         # in shards on axis 1
@@ -82,8 +86,8 @@ def _wrap_quant(spec: P, w: Any) -> Any:
             tspec = P(None, "tp", None)
         else:
             tspec = P(None, None, None)
-        return Q4_0TensorT(scales_t=tspec, qs_t=tspec)
-    return spec
+        return Q4_0TensorT(scales_t=lift(tspec), qs_t=lift(tspec))
+    return lift(spec)
 
 
 def param_specs(params: dict) -> dict:
@@ -91,10 +95,16 @@ def param_specs(params: dict) -> dict:
     specs: dict = {
         name: _wrap_quant(TOP_SPECS[name], params[name]) for name in TOP_SPECS
     }
-    specs["layers"] = [
-        {k: _wrap_quant(LAYER_SPECS[k], layer[k]) for k in layer}
-        for layer in params["layers"]
-    ]
+    if "layers_stacked" in params:
+        specs["layers_stacked"] = {
+            k: _wrap_quant(LAYER_SPECS[k], params["layers_stacked"][k], stacked=True)
+            for k in params["layers_stacked"]
+        }
+    if "layers" in params:
+        specs["layers"] = [
+            {k: _wrap_quant(LAYER_SPECS[k], layer[k]) for k in layer}
+            for layer in params["layers"]
+        ]
     return specs
 
 

@@ -54,3 +54,28 @@ def test_flash_bf16_cache(qkv):
     )
     ref = reference_decode_attention(q, k, v, 200)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_model_decode_with_flash_flag(tiny_cfg, tiny_tensors):
+    """forward() with use_flash_decode must match the XLA attention path."""
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.config import ModelConfig
+    from llama_swift_tpu.models import llama as model_lib
+
+    base_cfg = ModelConfig.tiny(n_ctx=64)
+    flash_cfg = ModelConfig.tiny(n_ctx=64, use_flash_decode=True)
+    params = model_lib.params_from_tensors(tiny_tensors, base_cfg,
+                                           param_dtype=jnp.float32)
+    tokens = [1, 5, 9]
+    outs = {}
+    for name, cfg in [("xla", base_cfg), ("flash", flash_cfg)]:
+        cache = model_lib.init_cache(cfg)
+        _, cache = model_lib.prefill(
+            params, jnp.asarray(tokens, dtype=jnp.int32), jnp.int32(0), cache, cfg
+        )
+        logits, _ = model_lib.decode_step(
+            params, jnp.int32(7), jnp.int32(len(tokens)), cache, cfg
+        )
+        outs[name] = np.asarray(logits)
+    np.testing.assert_allclose(outs["flash"], outs["xla"], rtol=2e-4, atol=2e-4)

@@ -112,7 +112,9 @@ def test_param_placement_follows_split_map(mesh, tp_cfg, tp_tensors):
     import dataclasses
 
     cfg = dataclasses.replace(tp_cfg, fuse_layer_matmuls=False)
-    params = model_lib.params_from_tensors(tp_tensors, cfg, param_dtype=jnp.float32)
+    params = model_lib.params_from_tensors(
+        tp_tensors, cfg, param_dtype=jnp.float32, stack_layers=False
+    )
     params_sh = sh.shard_params(params, mesh)
     wq = params_sh["layers"][0]["wq"]
     wo = params_sh["layers"][0]["wo"]
