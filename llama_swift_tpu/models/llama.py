@@ -276,11 +276,20 @@ def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cac
     leading axis for vmapped use.
     """
     if dtype is None:
-        dtype = jnp.dtype(cfg.kv_cache_dtype)
+        if cfg.kv_cache_dtype == "int8":
+            dtype = jnp.int8
+        else:
+            dtype = jnp.dtype(cfg.kv_cache_dtype)
     shape = (cfg.n_layer, cfg.n_head, cfg.n_ctx, cfg.head_dim)
     if batch is not None:
         shape = (batch,) + shape
-    return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+    cache = {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+    if dtype == jnp.int8:
+        # per-(layer, head, position) f32 scales for the int8 quantized cache
+        sshape = shape[:-1] + (1,)
+        cache["k_scale"] = jnp.zeros(sshape, dtype=jnp.float32)
+        cache["v_scale"] = jnp.zeros(sshape, dtype=jnp.float32)
+    return cache
 
 
 # ---------------------------------------------------------------------------
@@ -342,9 +351,36 @@ def forward(
 
     x = qmm.embedding_lookup(tokens, params["tok_embeddings"], compute_dtype=compute_dtype)
 
-    def layer_fn(x, layer, k_cache, v_cache):
-        """One transformer layer; k/v_cache: [H, n_ctx, Dh] for this layer.
-        Returns (x, updated k_cache, v_cache)."""
+    def cache_write(cl: dict, name: str, val):
+        """Store [N, H, Dh] states head-major at n_past; int8 cache gets
+        per-(head, position) symmetric scales."""
+        vt = val.transpose(1, 0, 2)  # [H, N, Dh]
+        buf = cl[name]
+        if name + "_scale" in cl:
+            amax = jnp.max(jnp.abs(vt), axis=-1, keepdims=True)
+            scale = amax / 127.0
+            inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+            q = jnp.clip(jnp.round(vt * inv), -127, 127).astype(jnp.int8)
+            cl = dict(cl)
+            cl[name] = jax.lax.dynamic_update_slice(buf, q, (0, n_past, 0))
+            cl[name + "_scale"] = jax.lax.dynamic_update_slice(
+                cl[name + "_scale"], scale.astype(jnp.float32), (0, n_past, 0)
+            )
+            return cl
+        cl = dict(cl)
+        cl[name] = jax.lax.dynamic_update_slice(
+            buf, vt.astype(buf.dtype), (0, n_past, 0)
+        )
+        return cl
+
+    def cache_read(cl: dict, name: str):
+        if name + "_scale" in cl:
+            return cl[name].astype(jnp.float32) * cl[name + "_scale"]
+        return cl[name]
+
+    def layer_fn(x, layer, cl):
+        """One transformer layer; cl: this layer's cache planes
+        ([H, n_ctx, Dh] (+ scales for int8)).  Returns (x, updated cl)."""
         D = cfg.n_embd
         h = norm(x, layer["attention_norm"], cfg.norm_type, cfg.norm_eps)
         if "wqkv" in layer:
@@ -360,23 +396,22 @@ def forward(
         # .mm:528, ignoring the file's n_rot field)
         q = rope(q, positions, cfg.head_dim)
         k = rope(k, positions, cfg.head_dim)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype).transpose(1, 0, 2), (0, n_past, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype).transpose(1, 0, 2), (0, n_past, 0)
-        )
-        if cfg.use_flash_decode and N == 1:
+        cl = cache_write(cl, "k", k)
+        cl = cache_write(cl, "v", v)
+        if cfg.use_flash_decode and N == 1 and "k_scale" not in cl:
             from ..ops.attention import flash_decode_attention
 
             chunk = cfg.n_ctx if cfg.n_ctx <= 512 else (
                 512 if cfg.n_ctx % 512 == 0 else cfg.n_ctx
             )
             ctx = flash_decode_attention(
-                q[0], k_cache, v_cache, n_past, chunk=chunk
+                q[0], cl["k"], cl["v"], n_past, chunk=chunk
             )[None].astype(compute_dtype)
         else:
-            ctx = _attention(q, k_cache, v_cache, n_past, cfg.n_ctx, compute_dtype)
+            ctx = _attention(
+                q, cache_read(cl, "k"), cache_read(cl, "v"), n_past, cfg.n_ctx,
+                compute_dtype,
+            )
         x = x + lin(ctx.reshape(N, cfg.n_embd), layer["wo"])
         # feed-forward block: silu(w1·h) * (w3·h) → w2   (.mm:658-684)
         h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
@@ -390,33 +425,33 @@ def forward(
             g3 = lin(h, layer["w3"])
         gate = jax.nn.silu(g1.astype(jnp.float32)).astype(compute_dtype)
         x = x + lin(gate * g3, layer["w2"])
-        return x, k_cache, v_cache
+        return x, cl
 
     if "layers_stacked" in params:
         # one traced layer, scanned over stacked weights + per-layer cache
         # planes (compile time ∝ 1 layer, not n_layer)
         def scan_body(x, xs):
-            layer, kc, vc = xs
-            x, kc, vc = layer_fn(x, layer, kc, vc)
-            return x, (kc, vc)
+            layer, cl = xs
+            x, cl = layer_fn(x, layer, cl)
+            return x, cl
 
-        x, (ck, cv) = jax.lax.scan(
-            scan_body, x, (params["layers_stacked"], cache["k"], cache["v"])
+        x, new_cache = jax.lax.scan(
+            scan_body, x, (params["layers_stacked"], cache)
         )
     else:
-        ck, cv = cache["k"], cache["v"]
-        new_k, new_v = [], []
+        per_layer = []
         for il in range(cfg.n_layer):
-            x, kc, vc = layer_fn(x, params["layers"][il], ck[il], cv[il])
-            new_k.append(kc)
-            new_v.append(vc)
-        ck = jnp.stack(new_k)
-        cv = jnp.stack(new_v)
+            cl = {k: v[il] for k, v in cache.items()}
+            x, cl = layer_fn(x, params["layers"][il], cl)
+            per_layer.append(cl)
+        new_cache = {
+            k: jnp.stack([cl[k] for cl in per_layer]) for k in cache
+        }
 
     x = norm(x, params["norm"], cfg.norm_type, cfg.norm_eps)
     logits = lin(x, params["output"]).astype(jnp.float32)
     logits = logits[:, : cfg.n_vocab]  # drop shard-padding rows of `output`
-    return logits, {"k": ck, "v": cv}
+    return logits, new_cache
 
 
 # ---------------------------------------------------------------------------

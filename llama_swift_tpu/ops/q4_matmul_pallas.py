@@ -324,9 +324,11 @@ def _q4_0_int_matmul_call(qx, dx, qs_t, scales_t, *, interpret=False):
     )(xe, xo, dxc, c2c, qs_t, scales_t)
 
 
-#: use the integer kernel for row counts up to this (the block-diagonal
-#: expansion multiplies MXU flops ~16·N×; decode and small batches win)
-MAX_INT_KERNEL_ROWS = 4
+#: use the integer kernel for row counts up to this. 0 disables it: measured
+#: end-to-end on v5e the int8 dot_general path decodes *slower* than the
+#: dequant kernel (20.7 vs 25.8 tok/s at 7B) — int8 MXU lowering needs more
+#: investigation before it becomes the default.
+MAX_INT_KERNEL_ROWS = 0
 
 
 def q4_0_int_matmul_pallas(

@@ -108,12 +108,12 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
-def cache_spec(batched: bool = False) -> dict:
-    """KV cache [L, H, n_ctx, Dh] (+ leading B when batched): heads over tp."""
+def cache_spec(batched: bool = False) -> P:
+    """KV cache leaves [L, H, n_ctx, Dh|1] (+ leading B): heads over tp.
+    The same spec applies to int8 caches' scale leaves (same leading dims)."""
     if batched:
-        return {"k": P("dp", None, "tp", None, None),
-                "v": P("dp", None, "tp", None, None)}
-    return {"k": P(None, "tp", None, None), "v": P(None, "tp", None, None)}
+        return P("dp", None, "tp", None, None)
+    return P(None, "tp", None, None)
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
@@ -134,7 +134,7 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 def shard_cache(cache: dict, mesh: Mesh, batched: bool = False) -> dict:
     spec = cache_spec(batched)
     return {
-        k: jax.device_put(v, NamedSharding(mesh, spec[k])) for k, v in cache.items()
+        k: jax.device_put(v, NamedSharding(mesh, spec)) for k, v in cache.items()
     }
 
 

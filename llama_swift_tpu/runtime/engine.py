@@ -58,11 +58,11 @@ def slot_prefill(params, tokens, length, slot, cache, cfg: ModelConfig):
 
     tokens [P] padded; returns (last-valid-token logits [n_vocab], cache).
     """
-    sub = {"k": cache["k"][slot], "v": cache["v"][slot]}
+    sub = {k: v[slot] for k, v in cache.items()}
     logits, sub = model_lib.forward(params, tokens, jnp.int32(0), sub, cfg)
     cache = {
-        "k": jax.lax.dynamic_update_index_in_dim(cache["k"], sub["k"], slot, 0),
-        "v": jax.lax.dynamic_update_index_in_dim(cache["v"], sub["v"], slot, 0),
+        k: jax.lax.dynamic_update_index_in_dim(cache[k], sub[k], slot, 0)
+        for k in cache
     }
     return logits[length - 1], cache
 
