@@ -52,9 +52,9 @@ def build_synthetic_q4_0_params(cfg):
             c = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 2)
             return (a * 7 + b * 13 + c * 3 + seed) % mod
 
-        qs_t = noise3(cols // 2, 251, None, None).astype(jnp.uint8)
+        qs4 = noise3(cols // 8, 2**31 - 1, None, None).astype(jnp.int32)
         scales_t = 0.001 + 1e-5 * noise3(cols // 32, 97, None, None).astype(jnp.float32)
-        return Q4_0TensorT(scales_t=scales_t, qs_t=qs_t)
+        return Q4_0TensorT(scales_t=scales_t, qs4=qs4)
 
     @jax.jit
     def gen_all():

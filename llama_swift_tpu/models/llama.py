@@ -237,7 +237,7 @@ def _concat_out(parts: list):
         # tiled layout [out/128, X, 128]: out is axis 0
         return Q4_0TensorT(
             scales_t=cat([p.scales_t for p in parts], axis=0),
-            qs_t=cat([p.qs_t for p in parts], axis=0),
+            qs4=cat([p.qs4 for p in parts], axis=0),
         )
     return cat(list(parts))
 

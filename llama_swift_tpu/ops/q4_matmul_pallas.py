@@ -1,40 +1,42 @@
-"""Fused Q4_0 dequant+matmul Pallas kernel — the TPU replacement for
+"""Fused Q4_0 matmul Pallas kernels — the TPU replacement for
 ``ggml_vec_dot_q4_0`` + the pthread mul_mat executor
 (``Sources/cpp/ggml.c:1296-1582, 5987-6285``).
 
 Decode is weight-bandwidth-bound: every token streams the packed weight bytes
-from HBM once (SURVEY.md §3.2 "where time goes").  The kernel reads the
+from HBM once (SURVEY.md §3.2 "where time goes").  The kernels read the
 *packed* nibble array (0.5 B/weight) + f32 block scales (0.125 B/weight) —
-5 bits/weight, identical storage to the reference — and dequantizes in VMEM
-right before the MXU dot.  No dense f16/f32 weight copy ever exists in HBM.
+5 bits/weight, identical storage to the reference — and feed the MXU without
+ever materializing a dense weight copy in HBM.
 
-Three layout decisions make this fast and Mosaic-friendly:
+At the HBM roofline the VPU budget is ~3 vector-ops per weight; a naive
+mask/shift/convert/scale dequant needs 8-10 and caps at ~6% of peak
+(measured).  The decode kernel therefore uses three structural tricks:
 
-1. **Even/odd activation split.**  GGML packs elements (2j, 2j+1) into byte
-   j (low/high nibble).  Instead of re-interleaving nibbles (an unsupported
-   lane shuffle), split the *activations* into even/odd columns once per
-   step (cheap XLA slice) and compute ``y = x_even @ deq_lo + x_odd @
-   deq_hi`` — each packed byte is loaded once and feeds both partial
-   products.
+1. **u32-lane packing + magic-mantissa extraction.**  Packed bytes are
+   stored 4-per-u32-lane.  A nibble at bit offset 4p (p<4 per 16-bit half)
+   is turned into an exact f32 with two bit ops and a free bitcast:
+   ``f32_bits(0x4B000000 | (x & mask)) = 2^23 + 16^p·n``.  One shared
+   ``>>16`` serves the high half.  Subtracting the 2^23 offset (exact,
+   Sterbenz) leaves ``16^p·n`` — a 4-significant-bit value that converts to
+   bf16 EXACTLY.  ≈4 vector-ops per weight, no int↔float conversion shuffles
+   (Mosaic only legalizes shifts at 32 bit — measured).
 
-2. **Contraction-major tiles.**  The per-block scales must be broadcast ×16
-   along the packed axis.  Lane-axis expansion does not lower on Mosaic,
-   sublane-axis expansion does — so inside a tile the packed axis (kh) runs
-   on sublanes and the out axis on lanes: tile [KT, TO], scales [KT/16, TO],
-   expansion = reshape(nbt,1,TO) → broadcast(nbt,16,TO) → reshape (verified
-   compiling on v5e).
+2. **Integer phase dots with output-side scales.**  Activations are
+   quantized per 32-block (the reference's own activation quantization,
+   ``ggml.c:6134-6151``) and laid out as a block-diagonal bf16 matrix per
+   nibble phase, so ONE MXU dot per phase yields every per-block partial sum
+   ``P[b,o]``; block scales ``d_x[b]·d_w[b,o]`` and the −8 nibble bias apply
+   on the tiny [blocks, out-tile] result.  bf16×bf16 dots are exact here
+   (integer-valued operands, f32 accumulation) — this reproduces the
+   reference's int4×int4 integer dot bit-for-bit semantics.
 
-3. **Pre-tiled physical layout.**  A plain [kh, out] array makes every
-   (k, j) grid block a column slice — thousands of 128-byte strided HBM
-   reads, which caps bandwidth at ~15% of peak (measured).  The device
-   arrays are therefore stored pre-tiled as ``[out/TO, kh, TO]`` so every
-   grid block is one contiguous HBM range, streamed in ascending address
-   order (k innermost).
+3. **Pre-tiled physical layout.**  Device arrays are stored
+   ``[out/128, in-packed, 128]`` so every grid block is one contiguous HBM
+   range streamed in ascending order (column slices of a flat layout are
+   128-byte strided reads — measured ~15% of peak).
 
-Grid: (n_tiles, out_tiles, k_tiles) with accumulation over k — covers both
-decode matvecs and prefill batches.  Dots use ``Precision.HIGHEST``
-(f32-accurate): decode has FLOPs to spare, bandwidth is the binding
-constraint.
+Prefill / large-N matmuls fall back to a jnp dequant path (compute-bound
+anyway; the block-diagonal trick's MXU waste scales with N).
 """
 
 from __future__ import annotations
@@ -52,7 +54,10 @@ from ..config import QK
 from ..formats.quant import Q4_0Tensor
 
 PACKED_PER_BLOCK = QK // 2  # nibble-bytes per 32-element scale block
-LANE_TILE = 128  # out-axis tile width (TO); fixed by the physical layout
+LANE_TILE = 128  # out-axis tile width; fixed by the physical layout
+PHASES = 8  # nibbles per u32 lane
+MAGIC = 0x4B000000  # f32 bits of 2^23; OR-ing mantissa bits is exact
+OFFSET = float(2 ** 23)
 
 
 @dataclasses.dataclass
@@ -60,33 +65,41 @@ class Q4_0TensorT:
     """Q4_0 weight in the pre-tiled, contraction-major device layout.
 
     Logical weight is [out, in] (as :class:`Q4_0Tensor`); stored as
-    ``qs_t`` uint8 [out/128, in/2, 128] and ``scales_t`` f32
-    [out/128, in/32, 128] — each (out-tile, k-range) block contiguous in
-    HBM (see module docstring, layout decision 3).
+    ``qs4`` int32 [out/128, in/8, 128] — four packed bytes (eight nibbles /
+    weights) per lane, bytes little-endian within the lane — and
+    ``scales_t`` f32 [out/128, in/32, 128].
     """
 
     scales_t: jnp.ndarray
-    qs_t: jnp.ndarray
+    qs4: jnp.ndarray
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.qs_t.shape[0] * LANE_TILE, self.qs_t.shape[1] * 2)
+        return (self.qs4.shape[0] * LANE_TILE, self.qs4.shape[1] * PHASES)
 
     @classmethod
     def from_q4_0(cls, w: Q4_0Tensor) -> "Q4_0TensorT":
-        qs = np.asarray(w.qs)  # [out, kh]
-        scales = np.asarray(w.scales)  # [out, nb]
+        qs = np.asarray(w.qs)  # u8 [out, in/2]
+        scales = np.asarray(w.scales)  # f32 [out, in/32]
         out, kh = qs.shape
         assert out % LANE_TILE == 0, f"out dim {out} not a multiple of {LANE_TILE}"
+        assert kh % 4 == 0, kh
         ot = out // LANE_TILE
+        # merge 4 packed bytes per u32 along the in axis (little-endian)
+        qs4 = qs.reshape(out, kh // 4, 4)
+        qs4 = (
+            qs4[:, :, 0].astype(np.uint32)
+            | (qs4[:, :, 1].astype(np.uint32) << 8)
+            | (qs4[:, :, 2].astype(np.uint32) << 16)
+            | (qs4[:, :, 3].astype(np.uint32) << 24)
+        ).view(np.int32)
 
-        def tile(a):
-            # [out, X] -> [ot, X, LANE_TILE]
+        def tile(a):  # [out, X] -> [ot, X, LANE_TILE]
             return np.ascontiguousarray(
                 a.reshape(ot, LANE_TILE, a.shape[1]).transpose(0, 2, 1)
             )
 
-        return cls(scales_t=tile(scales), qs_t=tile(qs))
+        return cls(scales_t=tile(scales), qs4=tile(qs4))
 
     def to_q4_0(self) -> Q4_0Tensor:
         def untile(a):
@@ -94,137 +107,60 @@ class Q4_0TensorT:
             ot, x, lt = a.shape
             return np.ascontiguousarray(a.transpose(0, 2, 1).reshape(ot * lt, x))
 
-        return Q4_0Tensor(scales=untile(self.scales_t), qs=untile(self.qs_t))
+        qs4 = untile(self.qs4).view(np.uint32)
+        out, kh4 = qs4.shape
+        qs = np.empty((out, kh4, 4), dtype=np.uint8)
+        for b in range(4):
+            qs[:, :, b] = ((qs4 >> (8 * b)) & 0xFF).astype(np.uint8)
+        return Q4_0Tensor(
+            scales=untile(self.scales_t), qs=qs.reshape(out, kh4 * 4)
+        )
 
 
 jax.tree_util.register_pytree_node(
     Q4_0TensorT,
-    lambda t: ((t.scales_t, t.qs_t), None),
+    lambda t: ((t.scales_t, t.qs4), None),
     lambda _, leaves: Q4_0TensorT(*leaves),
 )
 
 
 def dequantize_q4_0t_jnp(w: Q4_0TensorT, dtype=jnp.float32) -> jnp.ndarray:
-    """Dense [out, in] from the tiled layout (jnp fallback path)."""
-    qs = jnp.asarray(w.qs_t).astype(jnp.int32)  # [ot, kh, LT]
-    lo = ((qs & 15) - 8).astype(jnp.float32)
-    hi = ((qs >> 4) - 8).astype(jnp.float32)
+    """Dense [out, in] from the tiled u32 layout (jnp fallback path)."""
+    qs4 = jnp.asarray(w.qs4).view(jnp.uint32)  # [ot, kh4, LT]
     scales = jnp.asarray(w.scales_t).astype(jnp.float32)  # [ot, nb, LT]
-    s = jnp.repeat(scales, PACKED_PER_BLOCK, axis=1)  # [ot, kh, LT]
-    ot, kh, lt = qs.shape
-    # elements 2j (lo) / 2j+1 (hi) interleave along the in axis
-    wt = jnp.stack([lo * s, hi * s], axis=2).reshape(ot, kh * 2, lt)
-    return wt.transpose(0, 2, 1).reshape(ot * lt, kh * 2).astype(dtype)
-
-
-def _q4_0_matmul_kernel(x_even_ref, x_odd_ref, qs_ref, scales_ref, out_ref):
-    """One (n, out, k) grid step: dequantize a contiguous [KT, TO] block in
-    VMEM, two MXU dots, accumulate across k."""
-    kt, to = qs_ref.shape[1], qs_ref.shape[2]
-    nbt = scales_ref.shape[1]
-
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    qs = qs_ref[0].astype(jnp.int32)  # [KT, TO]
-    s = jnp.broadcast_to(
-        scales_ref[0].reshape(nbt, 1, to), (nbt, PACKED_PER_BLOCK, to)
-    ).reshape(kt, to)
-    acc = jnp.dot(
-        x_even_ref[:], ((qs & 15) - 8).astype(jnp.float32) * s,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    acc += jnp.dot(
-        x_odd_ref[:], ((qs >> 4) - 8).astype(jnp.float32) * s,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[:] += acc
-
-
-def _pick_kt(kh: int) -> int:
-    """Largest 128-multiple divisor of kh ≤ 2048 (f32 dequant temporaries
-    ~13 B per packed byte must fit VMEM at TO=128: 2048·128·13 ≈ 3.4 MB)."""
-    best = 0
-    t = 128
-    while t <= min(kh, 2048):
-        if kh % t == 0:
-            best = t
-        t += 128
-    return best
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _q4_0_matmul_call(x_even, x_odd, qs_t, scales_t, *, interpret=False):
-    n = x_even.shape[0]
-    ot, kh, lt = qs_t.shape
-    out_dim = ot * lt
-    nb = scales_t.shape[1]
-    kt = _pick_kt(kh)
-    assert kt, kh
-    nbt = kt // PACKED_PER_BLOCK
-    tn = n if n <= 128 else 128  # caller pads n accordingly
-    # k innermost: per out tile, blocks stream k-ascending = contiguous HBM
-    grid = (n // tn, ot, kh // kt)
-    return pl.pallas_call(
-        _q4_0_matmul_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tn, kt), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, kt), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, kt, lt), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, nbt, lt), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (tn, lt), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * out_dim * kh,
-            bytes_accessed=out_dim * kh + out_dim * nb * 4
-            + 2 * n * kh * 4 + n * out_dim * 4,
-            transcendentals=0,
-        ),
-    )(x_even, x_odd, qs_t, scales_t)
+    ot, kh4, lt = qs4.shape
+    # phase p = element 8j + p: nibble at bit 4p
+    phases = [
+        ((qs4 >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(jnp.float32) - 8.0
+        for p in range(PHASES)
+    ]
+    vals = jnp.stack(phases, axis=2)  # [ot, kh4, 8, LT]
+    in_dim = kh4 * PHASES
+    nb = in_dim // QK
+    s = jnp.repeat(scales, QK // PHASES, axis=1)  # [ot, kh4, LT]
+    vals = vals * s[:, :, None, :]
+    # [ot, kh4, 8, LT] -> [ot, LT, kh4*8] -> [out, in]
+    vals = vals.transpose(0, 3, 1, 2).reshape(ot, lt, in_dim)
+    return vals.reshape(ot * lt, in_dim).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
-# Integer decode kernel: int8 MXU dots, exact ggml_vec_dot_q4_0 semantics
+# decode kernel: magic-mantissa phase dots
 # ---------------------------------------------------------------------------
-#
-# The dequant kernel above is VPU-bound: ~6-10 vector ops per weight
-# (mask/shift/convert/scale) against a speed-of-light budget of ~3 — it cannot
-# reach the HBM roofline.  The decode kernel below restructures the math so
-# the nibbles never leave the int8 domain:
-#
-#   y[o] = Σ_b d_x[b]·d_w[b,o]·Σ_{j∈b} qx[j]·(qw[j,o]-8)
-#        = Σ_b d_x[b]·d_w[b,o]·(P[b,o] - 8·S[b]),   P = Σ_{j∈b} qx[j]·qw[j,o]
-#
-# P for ALL blocks at once is ONE int8×int8 MXU matmul against a
-# block-diagonal expansion X' of the quantized activations
-# (X'[b,j] = qx[j] iff j ∈ block b, built once per token outside the kernel).
-# In-kernel VPU work is just the nibble mask/shift (int8, ~1 op/weight) and
-# O(blocks·out) scale math — within the roofline budget.  This is *exactly*
-# the reference's int4×int4 dot with f32 block-scale products
-# (``ggml.c:1558-1578``), including integer accumulation.
+
+_PHASE_MASK = [0xF, 0xF0, 0xF00, 0xF000]
+_PHASE_SCALE = [1.0, 1.0 / 16, 1.0 / 256, 1.0 / 4096]
 
 
-def _q4_0_int_kernel(xe_ref, xo_ref, dxc_ref, c2c_ref, qs_ref, scales_ref, out_ref):
-    """One (out, k) step: int8 dots against the block-diagonal activation.
+def _q4_0_magic_kernel(xp_ref, dxc_ref, c2c_ref, qs4_ref, scales_ref, out_ref):
+    """One (out, k) grid step.
 
-    xe/xo: int8 [N·NBT, KT] (block-diagonal, even/odd planes);
-    dxc: f32 [N·NBT, TO-bcast] per-block activation scales;
-    c2c: f32 [N·NBT, TO-bcast] correction 8·d_x·(S_e+S_o);
-    qs: u8 [1, KT, TO]; scales: f32 [1, NBT, TO]; out: f32 [N, TO].
+    xp: bf16 [8, N·NBT, KT4] block-diagonal quantized activations per phase;
+    dxc/c2c: f32 [N·NBT, TO] per-block activation scales / −8 corrections
+    (block-major rows, pre-broadcast over lanes);
+    qs4: i32 [1, KT4, TO]; scales: f32 [1, NBT, TO]; out: f32 [N, TO].
     """
-    kt, to = qs_ref.shape[1], qs_ref.shape[2]
+    kt4, to = qs4_ref.shape[1], qs4_ref.shape[2]
     nbt = scales_ref.shape[1]
     n = out_ref.shape[0]
 
@@ -232,32 +168,35 @@ def _q4_0_int_kernel(xe_ref, xo_ref, dxc_ref, c2c_ref, qs_ref, scales_ref, out_r
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # nibble split: Mosaic has no u8 shift (arith.shrui unsupported) — mask
-    # and shift in i32, downcast to i8 for the MXU operands
-    qs = qs_ref[0].astype(jnp.int32)
-    lo = (qs & 15).astype(jnp.int8)
-    hi = (qs >> 4).astype(jnp.int8)
-    pe = jax.lax.dot_general(
-        xe_ref[:], lo, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    po = jax.lax.dot_general(
-        xo_ref[:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    # rows are block-major [(b, n)] so a k-range of blocks is contiguous:
-    # z[b,n,o] = s[b,o] · (d_x[n,b]·(Pe+Po)[b,n,o] − 8·d_x·S [b,n])
-    p = (pe + po).astype(jnp.float32).reshape(nbt, n, to)
+    xl = qs4_ref[0]
+    xh = jax.lax.shift_right_logical(xl, 16)
+
+    acc = None
+    for p in range(PHASES):
+        src = xl if p < 4 else xh
+        bits = (src & _PHASE_MASK[p % 4]) | MAGIC
+        f = pltpu.bitcast(bits, jnp.float32)
+        w_p = (f - OFFSET).astype(jnp.bfloat16)  # = 16^{p%4} · nibble, exact
+        d = jax.lax.dot_general(
+            xp_ref[p], w_p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N·NBT, TO]
+        d = d * _PHASE_SCALE[p % 4]
+        acc = d if acc is None else acc + d
+
+    # z[b,n,o] = s[b,o]·(d_x[n,b]·Σ_p c_p·D_p − 8·d_x·S)
+    pcomb = acc.reshape(nbt, n, to)
     dx = dxc_ref[:].reshape(nbt, n, to)
     c2 = c2c_ref[:].reshape(nbt, n, to)
-    contrib = (scales_ref[0][:, None, :] * (dx * p - c2)).sum(axis=0)
+    contrib = (scales_ref[0][:, None, :] * (dx * pcomb - c2)).sum(axis=0)
     out_ref[:] += contrib
 
 
 def quantize_activations_q4_0_int(x: jnp.ndarray):
     """Per-32-block Q4_0 activation quantization, integer form.
 
-    x: [N, IN] → (qx int8 [N, IN] in [-7, 7], dx f32 [N, IN/32]).
+    x: [N, IN] → (qx f32-int-valued [N, IN] in [-7, 7], dx f32 [N, IN/32]).
     Scalar reference semantics (amax/7, round half away — ``ggml.c:568-601``).
     """
     n, in_dim = x.shape
@@ -267,122 +206,117 @@ def quantize_activations_q4_0_int(x: jnp.ndarray):
     d = amax / 7.0
     inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
     q = jnp.trunc(xb * inv[..., None] + jnp.where(xb >= 0, 0.5, -0.5))
-    return q.reshape(n, in_dim).astype(jnp.int8), d
+    return q.reshape(n, in_dim), d
+
+
+def _pick_kt4(kh4: int) -> int:
+    """Largest divisor of kh4 that is a multiple of 8 and ≤ 512."""
+    best = 0
+    t = 8
+    while t <= min(kh4, 512):
+        if kh4 % t == 0:
+            best = t
+        t += 8
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _q4_0_int_matmul_call(qx, dx, qs_t, scales_t, *, interpret=False):
-    """qx int8 [N, IN], dx f32 [N, NB] → y f32 [N, OUT]."""
+def _q4_0_magic_matmul_call(qx, dx, qs4, scales_t, *, interpret=False):
+    """qx f32 int-valued [N, IN], dx f32 [N, NB] → y f32 [N, OUT]."""
     n, in_dim = qx.shape
-    ot, kh, lt = qs_t.shape
+    ot, kh4, lt = qs4.shape
     out_dim = ot * lt
     nb = in_dim // QK
-    kt = _pick_kt(kh)
-    assert kt, kh
-    nbt = kt // PACKED_PER_BLOCK
+    kt4 = _pick_kt4(kh4)
+    assert kt4, kh4
+    nbt = kt4 // (QK // PHASES)  # blocks per k-tile (4 u32 rows per block)
 
-    # block-diagonal expansion (once per call, reused across all out tiles),
-    # block-major rows [(b, n)] so k-tiles slice contiguous block ranges:
-    # X'[b, n, j] = qx_plane[n, j] iff j // 16 == b
-    j_blocks = jax.lax.broadcasted_iota(jnp.int32, (nb, kh), 1) // PACKED_PER_BLOCK
-    b_rows = jax.lax.broadcasted_iota(jnp.int32, (nb, kh), 0)
-    diag = (j_blocks == b_rows)[:, None, :]  # [nb, 1, kh]
+    # phase split + block-diagonal expansion (built once per call, reused
+    # across every out tile).  Block-major rows [(b, n)] so k-tiles slice
+    # contiguous block ranges.  Phase p holds elements 8j+p.
+    j_blk = jax.lax.broadcasted_iota(jnp.int32, (nb, kh4), 1) // (QK // PHASES)
+    b_row = jax.lax.broadcasted_iota(jnp.int32, (nb, kh4), 0)
+    diag = (j_blk == b_row)[:, None, :]  # [nb, 1, kh4]
 
-    def expand(plane):  # [N, kh] int8 -> [nb·N, kh] int8, block-major
-        e = jnp.where(diag, plane[None, :, :], jnp.int8(0))
-        return e.reshape(nb * n, kh)
+    def expand(plane):  # [N, kh4] -> [nb·N, kh4] bf16 block-diagonal
+        e = jnp.where(diag, plane[None, :, :], 0.0)
+        return e.reshape(nb * n, kh4).astype(jnp.bfloat16)
 
-    xe = expand(qx[:, 0::2])
-    xo = expand(qx[:, 1::2])
-    # per-block correction: 8·d_x·(Σ qx over the block, both planes)
-    s_all = qx.astype(jnp.float32).reshape(n, nb, QK).sum(axis=-1)
+    xp = jnp.stack([expand(qx[:, p::PHASES]) for p in range(PHASES)])
+
+    s_all = qx.reshape(n, nb, QK).sum(axis=-1)
     c2 = 8.0 * dx * s_all  # [N, nb]
-    # pre-broadcast small per-block vectors over the lane tile, block-major
     dxc = jnp.broadcast_to(dx.T[:, :, None], (nb, n, lt)).reshape(nb * n, lt)
     c2c = jnp.broadcast_to(c2.T[:, :, None], (nb, n, lt)).reshape(nb * n, lt)
 
-    grid = (ot, kh // kt)
+    grid = (ot, kh4 // kt4)  # k innermost: contiguous HBM streaming
     return pl.pallas_call(
-        _q4_0_int_kernel,
+        _q4_0_magic_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n * nbt, kt), lambda j, k: (k, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * nbt, kt), lambda j, k: (k, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (PHASES, n * nbt, kt4), lambda j, k: (0, k, k),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((n * nbt, lt), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n * nbt, lt), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kt, lt), lambda j, k: (j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt4, lt), lambda j, k: (j, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nbt, lt), lambda j, k: (j, k, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, lt), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (n, lt), lambda j, k: (0, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * n * nb * out_dim * PACKED_PER_BLOCK,
-            bytes_accessed=out_dim * kh + out_dim * nb * 4 + n * out_dim * 4,
+            flops=2 * n * nb * out_dim * (QK // PHASES) * PHASES,
+            bytes_accessed=out_dim * kh4 * 4 + out_dim * nb * 4 + n * out_dim * 4,
             transcendentals=0,
         ),
-    )(xe, xo, dxc, c2c, qs_t, scales_t)
+    )(xp, dxc, c2c, qs4, scales_t)
 
 
-#: use the integer kernel for row counts up to this. 0 disables it: measured
-#: end-to-end on v5e the int8 dot_general path decodes *slower* than the
-#: dequant kernel (20.7 vs 25.8 tok/s at 7B) — int8 MXU lowering needs more
-#: investigation before it becomes the default.
-MAX_INT_KERNEL_ROWS = 0
+#: route matmuls with at most this many rows to the decode kernel (the
+#: block-diagonal expansion multiplies MXU flops and X' VMEM by N)
+MAX_INT_KERNEL_ROWS = 4
 
 
 def q4_0_int_matmul_pallas(
     x: jnp.ndarray, w: Q4_0TensorT, *, compute_dtype=jnp.float32, interpret=False
 ) -> jnp.ndarray:
     """Integer-exact Q4_0 matmul: quantizes activations per 32-block and
-    runs the int8 MXU kernel — the reference's int4×int4 dot, end to end."""
-    qs_t = jnp.asarray(w.qs_t)
+    runs the magic-phase kernel — the reference's int4×int4 dot end to end."""
+    qs4 = jnp.asarray(w.qs4)
     scales_t = jnp.asarray(w.scales_t)
-    ot, kh, lt = qs_t.shape
+    ot, kh4, lt = qs4.shape
     out_dim = ot * lt
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
     qx, dx = quantize_activations_q4_0_int(x2)
-    y = _q4_0_int_matmul_call(qx, dx, qs_t, scales_t, interpret=interpret)
+    y = _q4_0_magic_matmul_call(qx, dx, qs4, scales_t, interpret=interpret)
     return y.reshape(*lead, out_dim).astype(compute_dtype)
 
 
 def q4_0_matmul_pallas(
     x: jnp.ndarray, w: Q4_0TensorT, *, compute_dtype=jnp.float32, interpret=False
 ) -> jnp.ndarray:
-    """``y[..., out] = x[..., in] @ deq(W)[out, in].T`` via the fused kernel.
+    """``y[..., out] = x[..., in] @ deq(W)[out, in].T``.
 
-    The caller fake-quantizes activations first when reference int4×int4
-    parity is wanted (``ops/quantized_matmul.py``).  Falls back to the jnp
-    dequant path for shapes the kernel can't tile.
+    Small row counts go through the fused decode kernel; larger ones (and
+    untileable shapes) through the jnp dequant path (prefill is
+    compute-bound; XLA's dense matmul is fine there).  The caller handles
+    activation fake-quant for the fallback path.
     """
-    qs_t = jnp.asarray(w.qs_t)
-    scales_t = jnp.asarray(w.scales_t)
-    ot, kh, lt = qs_t.shape
+    qs4 = jnp.asarray(w.qs4)
+    ot, kh4, lt = qs4.shape
     out_dim = ot * lt
-    nb = scales_t.shape[1]
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
-
-    usable = bool(_pick_kt(kh)) and nb % 8 == 0
-    if not usable:
-        wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
-        y = jnp.dot(
-            x2, wd.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return y.reshape(*lead, out_dim).astype(compute_dtype)
-
-    # pad rows to the sublane tile (8) and, beyond 128, to a 128-multiple so
-    # the n-tiled grid divides evenly
-    unit = 8 if n_rows <= 128 else 128
-    n_pad = max(8, ((n_rows + unit - 1) // unit) * unit)
-    if n_pad != n_rows:
-        x2 = jnp.pad(x2, ((0, n_pad - n_rows), (0, 0)))
-    x_even = x2[:, 0::2]
-    x_odd = x2[:, 1::2]
-    y = _q4_0_matmul_call(x_even, x_odd, qs_t, scales_t, interpret=interpret)
-    y = y[:n_rows]
+    wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
+    y = jnp.dot(
+        x2, wd.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return y.reshape(*lead, out_dim).astype(compute_dtype)

@@ -127,10 +127,12 @@ def linear(
     if isinstance(w, Q4_0TensorT):
         use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
         n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-        kh = w.qs_t.shape[1]
+        kh4 = w.qs4.shape[1]
+        from .q4_matmul_pallas import _pick_kt4
+
         if (
             use_pallas and quantize_activations
-            and n_rows <= MAX_INT_KERNEL_ROWS and kh % 128 == 0
+            and n_rows <= MAX_INT_KERNEL_ROWS and _pick_kt4(kh4)
         ):
             # integer decode kernel: exact int4×int4 reference semantics
             return q4_0_int_matmul_pallas(x, w, compute_dtype=compute_dtype)
@@ -190,11 +192,19 @@ def embedding_lookup(
         # tiled layout [out/128, X, 128]: row r lives at (r//128, :, r%128)
         ot_idx = tokens // LANE_TILE
         lane_idx = tokens % LANE_TILE
-        qs_rows = jnp.asarray(w.qs_t)[ot_idx, :, lane_idx]  # [N, kh]
+        qs4_rows = jnp.asarray(w.qs4)[ot_idx, :, lane_idx].view(jnp.uint32)  # [N, kh4]
         sc_rows = jnp.asarray(w.scales_t)[ot_idx, :, lane_idx]  # [N, nb]
-        return dequantize_q4_0_jnp(
-            Q4_0Tensor(scales=sc_rows, qs=qs_rows), dtype=compute_dtype
-        )
+        vals = jnp.stack(
+            [
+                ((qs4_rows >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(jnp.float32)
+                - 8.0
+                for p in range(8)
+            ],
+            axis=-1,
+        ).reshape(qs4_rows.shape[0], -1)  # [N, in]
+        nb = sc_rows.shape[1]
+        vals = vals.reshape(vals.shape[0], nb, -1) * sc_rows[:, :, None]
+        return vals.reshape(vals.shape[0], -1).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         sub = Q4_0Tensor(
             jnp.take(jnp.asarray(w.scales), tokens, axis=0),

@@ -86,7 +86,7 @@ def _wrap_quant(spec: P, w: Any, stacked: bool = False) -> Any:
             tspec = P(None, "tp", None)
         else:
             tspec = P(None, None, None)
-        return Q4_0TensorT(scales_t=lift(tspec), qs_t=lift(tspec))
+        return Q4_0TensorT(scales_t=lift(tspec), qs4=lift(tspec))
     return lift(spec)
 
 
