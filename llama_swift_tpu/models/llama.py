@@ -429,15 +429,26 @@ def forward(
 
     if "layers_stacked" in params:
         # one traced layer, scanned over stacked weights + per-layer cache
-        # planes (compile time ∝ 1 layer, not n_layer)
+        # planes (compile time ∝ 1 layer, not n_layer).  Q4 weight stacks
+        # stay OUT of the scan xs: a scan slice feeding a pallas operand
+        # materializes a per-layer weight copy; instead the kernel indexes
+        # the stacked HBM buffer via scalar prefetch (StackedQ4Ref).
+        from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
+
+        stacked = params["layers_stacked"]
+        q4_keys = [k for k, v in stacked.items() if isinstance(v, Q4_0TensorT)]
+        xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
+        il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+
         def scan_body(x, xs):
-            layer, cl = xs
+            il, layer_small, cl = xs
+            layer = dict(layer_small)
+            for k in q4_keys:
+                layer[k] = StackedQ4Ref(stacked[k], il)
             x, cl = layer_fn(x, layer, cl)
             return x, cl
 
-        x, new_cache = jax.lax.scan(
-            scan_body, x, (params["layers_stacked"], cache)
-        )
+        x, new_cache = jax.lax.scan(scan_body, x, (il_seq, xs_small, cache))
     else:
         per_layer = []
         for il in range(cfg.n_layer):

@@ -152,23 +152,23 @@ _PHASE_MASK = [0xF, 0xF0, 0xF00, 0xF000]
 _PHASE_SCALE = [1.0, 1.0 / 16, 1.0 / 256, 1.0 / 4096]
 
 
-def _q4_0_magic_kernel(xp_ref, dxc_ref, c2c_ref, qs4_ref, scales_ref, out_ref):
-    """One (out, k) grid step.
+def _magic_core(xp, dx, c2, qs4, scales, out_ref, is_first):
+    """Shared decode-kernel body on loaded arrays.
 
     xp: bf16 [8, N·NBT, KT4] block-diagonal quantized activations per phase;
-    dxc/c2c: f32 [N·NBT, TO] per-block activation scales / −8 corrections
+    dx/c2: f32 [N·NBT, TO] per-block activation scales / −8 corrections
     (block-major rows, pre-broadcast over lanes);
-    qs4: i32 [1, KT4, TO]; scales: f32 [1, NBT, TO]; out: f32 [N, TO].
+    qs4: i32 [KT4, TO]; scales: f32 [NBT, TO]; out: f32 [N, TO].
     """
-    kt4, to = qs4_ref.shape[1], qs4_ref.shape[2]
-    nbt = scales_ref.shape[1]
+    kt4, to = qs4.shape
+    nbt = scales.shape[0]
     n = out_ref.shape[0]
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(is_first)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    xl = qs4_ref[0]
+    xl = qs4
     xh = jax.lax.shift_right_logical(xl, 16)
 
     acc = None
@@ -178,7 +178,7 @@ def _q4_0_magic_kernel(xp_ref, dxc_ref, c2c_ref, qs4_ref, scales_ref, out_ref):
         f = pltpu.bitcast(bits, jnp.float32)
         w_p = (f - OFFSET).astype(jnp.bfloat16)  # = 16^{p%4} · nibble, exact
         d = jax.lax.dot_general(
-            xp_ref[p], w_p,
+            xp[p], w_p,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [N·NBT, TO]
@@ -187,10 +187,17 @@ def _q4_0_magic_kernel(xp_ref, dxc_ref, c2c_ref, qs4_ref, scales_ref, out_ref):
 
     # z[b,n,o] = s[b,o]·(d_x[n,b]·Σ_p c_p·D_p − 8·d_x·S)
     pcomb = acc.reshape(nbt, n, to)
-    dx = dxc_ref[:].reshape(nbt, n, to)
-    c2 = c2c_ref[:].reshape(nbt, n, to)
-    contrib = (scales_ref[0][:, None, :] * (dx * pcomb - c2)).sum(axis=0)
+    dxr = dx.reshape(nbt, n, to)
+    c2r = c2.reshape(nbt, n, to)
+    contrib = (scales[:, None, :] * (dxr * pcomb - c2r)).sum(axis=0)
     out_ref[:] += contrib
+
+
+def _q4_0_magic_kernel(xp_ref, dxc_ref, c2c_ref, qs4_ref, scales_ref, out_ref):
+    _magic_core(
+        xp_ref[:], dxc_ref[:], c2c_ref[:], qs4_ref[0], scales_ref[0], out_ref,
+        pl.program_id(1) == 0,
+    )
 
 
 def quantize_activations_q4_0_int(x: jnp.ndarray):
@@ -274,6 +281,105 @@ def _q4_0_magic_matmul_call(qx, dx, qs4, scales_t, *, interpret=False):
             transcendentals=0,
         ),
     )(xp, dxc, c2c, qs4, scales_t)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_magic_matmul_call_stacked(
+    layer_idx, qx, dx, qs4_stacked, scales_stacked, *, interpret=False
+):
+    """Stacked-layer variant: weights [L, ot, ...] stay in HBM; the layer is
+    selected via scalar-prefetch in the BlockSpec index maps, so a scan over
+    layers never materializes per-layer weight copies (a lax.scan slicing a
+    stacked array into a pallas operand would copy ~weight-size per layer)."""
+    n, in_dim = qx.shape
+    L, ot, kh4, lt = qs4_stacked.shape
+    out_dim = ot * lt
+    nb = in_dim // QK
+    kt4 = _pick_kt4(kh4)
+    assert kt4, kh4
+    nbt = kt4 // (QK // PHASES)
+
+    j_blk = jax.lax.broadcasted_iota(jnp.int32, (nb, kh4), 1) // (QK // PHASES)
+    b_row = jax.lax.broadcasted_iota(jnp.int32, (nb, kh4), 0)
+    diag = (j_blk == b_row)[:, None, :]
+
+    def expand(plane):
+        e = jnp.where(diag, plane[None, :, :], 0.0)
+        return e.reshape(nb * n, kh4).astype(jnp.bfloat16)
+
+    xp = jnp.stack([expand(qx[:, p::PHASES]) for p in range(PHASES)])
+    s_all = qx.reshape(n, nb, QK).sum(axis=-1)
+    c2 = 8.0 * dx * s_all
+    dxc = jnp.broadcast_to(dx.T[:, :, None], (nb, n, lt)).reshape(nb * n, lt)
+    c2c = jnp.broadcast_to(c2.T[:, :, None], (nb, n, lt)).reshape(nb * n, lt)
+
+    def kernel(il_ref, xp_ref, dxc_ref, c2c_ref, qs4_ref, scales_ref, out_ref):
+        _magic_core(
+            xp_ref[:], dxc_ref[:], c2c_ref[:], qs4_ref[0, 0], scales_ref[0, 0],
+            out_ref, pl.program_id(1) == 0,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ot, kh4 // kt4),
+        in_specs=[
+            pl.BlockSpec(
+                (PHASES, n * nbt, kt4), lambda j, k, il: (0, k, k),
+            ),
+            pl.BlockSpec((n * nbt, lt), lambda j, k, il: (k, 0)),
+            pl.BlockSpec((n * nbt, lt), lambda j, k, il: (k, 0)),
+            pl.BlockSpec(
+                (1, 1, kt4, lt), lambda j, k, il: (il[0], j, k, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, nbt, lt), lambda j, k, il: (il[0], j, k, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((n, lt), lambda j, k, il: (0, j)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([layer_idx], dtype=jnp.int32), xp, dxc, c2c, qs4_stacked, scales_stacked)
+
+
+def q4_0_int_matmul_pallas_stacked(
+    x: jnp.ndarray, w_stacked: "Q4_0TensorT", layer_idx, *,
+    compute_dtype=jnp.float32, interpret=False,
+) -> jnp.ndarray:
+    """Layer-indexed matmul against stacked Q4 weights ([L, ...] leaves)."""
+    qs4 = jnp.asarray(w_stacked.qs4)
+    scales = jnp.asarray(w_stacked.scales_t)
+    L, ot, kh4, lt = qs4.shape
+    out_dim = ot * lt
+    lead = x.shape[:-1]
+    n_rows = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
+    qx, dx = quantize_activations_q4_0_int(x2)
+    y = _q4_0_magic_matmul_call_stacked(
+        layer_idx, qx, dx, qs4, scales, interpret=interpret
+    )
+    return y.reshape(*lead, out_dim).astype(compute_dtype)
+
+
+@dataclasses.dataclass
+class StackedQ4Ref:
+    """Transient handle: stacked Q4 weights ([L, ...] leaves) + a traced
+    layer index, passed through ``linear`` inside a scan-over-layers body so
+    the pallas kernel can index the stacked HBM buffer directly (scalar
+    prefetch) instead of the scan materializing per-layer copies."""
+
+    w: Q4_0TensorT
+    layer_idx: object  # traced int32 scalar
+
+    def at_layer(self) -> Q4_0TensorT:
+        """Sliced 3-D view (dynamic-slice; used by non-pallas fallbacks)."""
+        return Q4_0TensorT(
+            scales_t=jnp.asarray(self.w.scales_t)[self.layer_idx],
+            qs4=jnp.asarray(self.w.qs4)[self.layer_idx],
+        )
 
 
 #: route matmuls with at most this many rows to the decode kernel (the

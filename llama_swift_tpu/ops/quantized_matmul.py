@@ -119,10 +119,29 @@ def linear(
     from .q4_matmul_pallas import (
         MAX_INT_KERNEL_ROWS,
         Q4_0TensorT,
+        StackedQ4Ref,
+        _pick_kt4,
         dequantize_q4_0t_jnp,
         q4_0_int_matmul_pallas,
+        q4_0_int_matmul_pallas_stacked,
         q4_0_matmul_pallas,
     )
+
+    if isinstance(w, StackedQ4Ref):
+        use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
+        n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        kh4 = w.w.qs4.shape[2]
+        if (
+            use_pallas and quantize_activations
+            and n_rows <= MAX_INT_KERNEL_ROWS and _pick_kt4(kh4)
+        ):
+            return q4_0_int_matmul_pallas_stacked(
+                x, w.w, w.layer_idx, compute_dtype=compute_dtype
+            )
+        return linear(
+            x, w.at_layer(), quantize_activations=quantize_activations,
+            compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
+        )
 
     if isinstance(w, Q4_0TensorT):
         use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
