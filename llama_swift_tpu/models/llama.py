@@ -99,6 +99,13 @@ def params_from_tensors(
 
     def cvt(a):
         if isinstance(a, Q4_0Tensor) and transpose_q4 and a.shape[0] % 128 == 0:
+            # pad the in-dim to a 1024 multiple: the kernel k-tiles need
+            # 128-aligned divisors of in/8 (zero blocks are exact; matmul
+            # wrappers zero-pad activations to match)
+            in_dim = a.shape[1]
+            in_pad = (in_dim + 1023) // 1024 * 1024
+            if in_pad != in_dim:
+                a = _pad_weight(a, in_to=in_pad)
             a = Q4_0TensorT.from_q4_0(a)
             return jax.tree_util.tree_map(jnp.asarray, a)
         if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT)):
@@ -349,7 +356,9 @@ def forward(
     )
     positions = n_past + jnp.arange(N, dtype=jnp.int32)
 
-    x = qmm.embedding_lookup(tokens, params["tok_embeddings"], compute_dtype=compute_dtype)
+    x = qmm.embedding_lookup(
+        tokens, params["tok_embeddings"], compute_dtype=compute_dtype
+    )[:, : cfg.n_embd]  # drop 1024-padding of the q4 in-dim, if any
 
     def cache_write(cl: dict, name: str, val):
         """Store [N, H, Dh] states head-major at n_past; int8 cache gets

@@ -217,13 +217,15 @@ def quantize_activations_q4_0_int(x: jnp.ndarray):
 
 
 def _pick_kt4(kh4: int) -> int:
-    """Largest divisor of kh4 that is a multiple of 8 and ≤ 512."""
+    """Largest divisor of kh4 that is a multiple of 128 and ≤ 512 (Mosaic
+    blocks need 128-aligned trailing dims; q4 in-dims are padded to 1024
+    multiples at param build so such a divisor always exists)."""
     best = 0
-    t = 8
+    t = 128
     while t <= min(kh4, 512):
         if kh4 % t == 0:
             best = t
-        t += 8
+        t += 128
     return best
 
 
@@ -356,7 +358,7 @@ def q4_0_int_matmul_pallas_stacked(
     out_dim = ot * lt
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
-    x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
+    x2 = _pad_x_to(x.reshape(n_rows, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
     qx, dx = quantize_activations_q4_0_int(x2)
     y = _q4_0_magic_matmul_call_stacked(
         layer_idx, qx, dx, qs4, scales, interpret=interpret
@@ -387,6 +389,14 @@ class StackedQ4Ref:
 MAX_INT_KERNEL_ROWS = 4
 
 
+def _pad_x_to(x2: jnp.ndarray, in_dim: int) -> jnp.ndarray:
+    """Zero-pad activations to a weight's (1024-padded) in-dim — zero blocks
+    quantize to zero and contribute nothing."""
+    if x2.shape[-1] < in_dim:
+        x2 = jnp.pad(x2, ((0, 0), (0, in_dim - x2.shape[-1])))
+    return x2
+
+
 def q4_0_int_matmul_pallas(
     x: jnp.ndarray, w: Q4_0TensorT, *, compute_dtype=jnp.float32, interpret=False
 ) -> jnp.ndarray:
@@ -398,7 +408,7 @@ def q4_0_int_matmul_pallas(
     out_dim = ot * lt
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
-    x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
+    x2 = _pad_x_to(x.reshape(n_rows, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
     qx, dx = quantize_activations_q4_0_int(x2)
     y = _q4_0_magic_matmul_call(qx, dx, qs4, scales_t, interpret=interpret)
     return y.reshape(*lead, out_dim).astype(compute_dtype)
@@ -419,7 +429,7 @@ def q4_0_matmul_pallas(
     out_dim = ot * lt
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
-    x2 = x.reshape(n_rows, x.shape[-1]).astype(jnp.float32)
+    x2 = _pad_x_to(x.reshape(n_rows, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
     wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
     y = jnp.dot(
         x2, wd.T, preferred_element_type=jnp.float32,

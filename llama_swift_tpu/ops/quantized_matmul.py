@@ -157,11 +157,12 @@ def linear(
             return q4_0_int_matmul_pallas(x, w, compute_dtype=compute_dtype)
         if quantize_activations:
             x = fake_quantize_q4_0(x)
-        if use_pallas:
-            return q4_0_matmul_pallas(x, w, compute_dtype=compute_dtype)
+        from .q4_matmul_pallas import _pad_x_to
+
+        x = _pad_x_to(x.astype(compute_dtype), w.qs4.shape[1] * 8)
         wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
         return jnp.dot(
-            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+            x, wd.T, preferred_element_type=jnp.float32
         ).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         if quantize_activations:

@@ -16,7 +16,7 @@ from llama_swift_tpu.ops.q4_matmul_pallas import (
 @pytest.fixture(scope="module")
 def w():
     rng = np.random.default_rng(0)
-    return Q4_0Tensor.quantize(rng.standard_normal((256, 512)).astype(np.float32) * 0.05)
+    return Q4_0Tensor.quantize(rng.standard_normal((256, 1024)).astype(np.float32) * 0.05)
 
 
 def _reference_int_dot(x, w: Q4_0Tensor):
@@ -42,7 +42,7 @@ def _reference_int_dot(x, w: Q4_0Tensor):
 def test_int_kernel_matches_reference(w):
     t = Q4_0TensorT.from_q4_0(w)
     rng = np.random.default_rng(1)
-    x = rng.standard_normal((1, 512)).astype(np.float32)
+    x = rng.standard_normal((1, 1024)).astype(np.float32)
     y = q4_0_int_matmul_pallas(jnp.asarray(x), t, interpret=True)
     ref = _reference_int_dot(x, w)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-5)
@@ -51,7 +51,7 @@ def test_int_kernel_matches_reference(w):
 def test_int_kernel_multi_row(w):
     t = Q4_0TensorT.from_q4_0(w)
     rng = np.random.default_rng(2)
-    x = rng.standard_normal((4, 512)).astype(np.float32)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
     y = q4_0_int_matmul_pallas(jnp.asarray(x), t, interpret=True)
     ref = _reference_int_dot(x, w)
     assert y.shape == (4, 256)
@@ -65,7 +65,7 @@ def test_int_kernel_matches_fakequant_path(w):
 
     t = Q4_0TensorT.from_q4_0(w)
     rng = np.random.default_rng(3)
-    x = rng.standard_normal((2, 512)).astype(np.float32)
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
     y_int = q4_0_int_matmul_pallas(jnp.asarray(x), t, interpret=True)
     xq = fake_quantize_q4_0(jnp.asarray(x))
     y_fq = np.asarray(xq) @ w.dequantize().T
@@ -81,9 +81,9 @@ def test_activation_quantization_int_form():
 
 
 def test_zero_activation_block():
-    x = jnp.zeros((1, 512), dtype=jnp.float32)
+    x = jnp.zeros((1, 1024), dtype=jnp.float32)
     rng = np.random.default_rng(4)
-    w = Q4_0Tensor.quantize(rng.standard_normal((128, 512)).astype(np.float32))
+    w = Q4_0Tensor.quantize(rng.standard_normal((128, 1024)).astype(np.float32))
     t = Q4_0TensorT.from_q4_0(w)
     y = q4_0_int_matmul_pallas(x, t, interpret=True)
     np.testing.assert_array_equal(np.asarray(y), np.zeros((1, 128), np.float32))
@@ -96,7 +96,7 @@ def test_linear_dispatches_int_kernel_small_n(w, monkeypatch):
 
     t = Q4_0TensorT.from_q4_0(w)
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32))
     # prefer_pallas=True on CPU → compiled pallas path unsupported; use the
     # interpret-mode entry directly for equivalence, and the dispatch flag
     # logic via prefer_pallas=False (jnp fallback)
