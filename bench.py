@@ -44,6 +44,7 @@ def build_synthetic_q4_0_params(cfg):
         if len(shape) == 1:
             return jnp.ones(shape, jnp.float32)
         rows, cols = shape
+        cols = (cols + 4095) // 4096 * 4096  # kernel in-dim padding (cvt parity)
         ot = rows // 128
         # deterministic pseudo-noise, pure elementwise — compiles in seconds
         def noise3(d1, mod, scale, off):
@@ -69,6 +70,7 @@ def build_synthetic_q4_0_params(cfg):
             total_bytes += shape[0] * 4
         else:
             rows, cols = shape
+            cols = (cols + 4095) // 4096 * 4096  # padded bytes really stream
             total_bytes += rows * cols // 2 + rows * (cols // 32) * 4
     return tensors, total_bytes
 
@@ -82,6 +84,9 @@ def main():
                     help=">1: batched greedy decode (continuous-batching "
                          "inner loop); reports aggregate tok/s")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="scan-over-layers forward (small compile, slower "
+                         "decode); default is unrolled layers")
     args = ap.parse_args()
 
     import jax
@@ -103,7 +108,9 @@ def main():
     )
 
     tensors, weight_bytes = build_synthetic_q4_0_params(cfg)
-    params = model_lib.params_from_tensors(tensors, cfg, param_dtype=jnp.float32)
+    params = model_lib.params_from_tensors(
+        tensors, cfg, param_dtype=jnp.float32, stack_layers=args.scan_layers
+    )
 
     import functools
 

@@ -99,11 +99,12 @@ def params_from_tensors(
 
     def cvt(a):
         if isinstance(a, Q4_0Tensor) and transpose_q4 and a.shape[0] % 128 == 0:
-            # pad the in-dim to a 1024 multiple: the kernel k-tiles need
-            # 128-aligned divisors of in/8 (zero blocks are exact; matmul
-            # wrappers zero-pad activations to match)
+            # pad the in-dim to a 4096 multiple so in/8 is a 512 multiple:
+            # the kernel then always k-tiles at KT4=512 (few, large,
+            # contiguous blocks). Zero blocks are exact; matmul wrappers
+            # zero-pad activations to match.
             in_dim = a.shape[1]
-            in_pad = (in_dim + 1023) // 1024 * 1024
+            in_pad = (in_dim + 4095) // 4096 * 4096
             if in_pad != in_dim:
                 a = _pad_weight(a, in_to=in_pad)
             a = Q4_0TensorT.from_q4_0(a)
