@@ -182,8 +182,8 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
 
     if isinstance(a, Q4_0TensorT):
         rows, cols = a.shape
-        if (out_to or rows) == rows and (in_to or cols) == cols:
-            return a
+        if (out_to or rows) <= rows and (in_to or cols) <= cols:
+            return a  # already at/above target (e.g. kernel in-dim padding)
         raise ValueError(
             "shard padding of pre-tiled Q4_0TensorT params is unsupported; "
             "pad before tiling (pass row-major tensors with shard_pad)"

@@ -384,9 +384,11 @@ class StackedQ4Ref:
         )
 
 
-#: route matmuls with at most this many rows to the decode kernel (the
-#: block-diagonal expansion multiplies MXU flops and X' VMEM by N)
-MAX_INT_KERNEL_ROWS = 4
+#: route matmuls with at most this many rows to the block-diagonal integer
+#: kernel. 0 disables it (measured slower end-to-end than the phase-dequant
+#: kernel: the block-diagonal expansion wastes ~16× MXU flops and its small
+#: per-phase dots are latency-bound); kept for further investigation.
+MAX_INT_KERNEL_ROWS = 0
 
 
 def _pad_x_to(x2: jnp.ndarray, in_dim: int) -> jnp.ndarray:
@@ -414,22 +416,117 @@ def q4_0_int_matmul_pallas(
     return y.reshape(*lead, out_dim).astype(compute_dtype)
 
 
+# ---------------------------------------------------------------------------
+# phase-dequant kernel: magic extraction, one concatenated dot per tile
+# ---------------------------------------------------------------------------
+
+
+def _q4_0_phase_kernel(xr_ref, qs4_ref, scales_ref, out_ref):
+    """One (out, k) step: extract all 8 nibble phases with magic bitcasts,
+    scale, concatenate along the contraction axis, ONE MXU dot.
+
+    xr: f32 [N, 8, KT4] activations reordered phase-major (element 8j+p at
+    [:, p, j]); qs4: i32 [1, KT4, TO]; scales: f32 [1, NBT, TO];
+    out: f32 [N, TO], accumulated over k.
+    """
+    kt4, to = qs4_ref.shape[1], qs4_ref.shape[2]
+    nbt = scales_ref.shape[1]
+    n = out_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # per-row scales: u32 row j holds elements 8j..8j+7, all in block j//4
+    s4 = jnp.broadcast_to(
+        scales_ref[0].reshape(nbt, 1, to), (nbt, 4, to)
+    ).reshape(kt4, to)
+    s4c = [s4 * c for c in _PHASE_SCALE]
+
+    xl = qs4_ref[0]
+    xh = jax.lax.shift_right_logical(xl, 16)
+    ws = []
+    for p in range(PHASES):
+        src = xl if p < 4 else xh
+        bits = (src & _PHASE_MASK[p % 4]) | MAGIC
+        f = pltpu.bitcast(bits, jnp.float32)
+        # ((2^23 + 16^p(n)) − (2^23 + 8·16^p)) · s/16^p = (n − 8)·s, exact
+        ws.append((f - (OFFSET + 8.0 * (16 ** (p % 4)))) * s4c[p % 4])
+    wcat = jnp.concatenate(ws, axis=0)  # [8·KT4, TO], rows = p·KT4 + j
+
+    xb = xr_ref[:].reshape(n, PHASES * kt4)  # matches wcat row order
+    out_ref[:] += jnp.dot(
+        xb, wcat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_phase_matmul_call(x2, qs4, scales_t, *, interpret=False):
+    """x2 f32 [N, IN] (N a multiple of 8) → y f32 [N, OUT]."""
+    n, in_dim = x2.shape
+    ot, kh4, lt = qs4.shape
+    out_dim = ot * lt
+    kt4 = _pick_kt4(kh4)
+    assert kt4, kh4
+    nbt = kt4 // 4
+    xr = x2.reshape(n, kh4, PHASES).transpose(0, 2, 1)  # [N, 8, kh4]
+    grid = (ot, kh4 // kt4)
+    return pl.pallas_call(
+        _q4_0_phase_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, PHASES, kt4), lambda j, k: (0, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt4, lt), lambda j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbt, lt), lambda j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, lt), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * out_dim * in_dim,
+            bytes_accessed=out_dim * kh4 * 4 + out_dim * (in_dim // QK) * 4
+            + n * in_dim * 4 + n * out_dim * 4,
+            transcendentals=0,
+        ),
+    )(xr, qs4, scales_t)
+
+
+#: rows above which the jnp dense-dequant path wins (x must stay VMEM
+#: resident per out tile)
+MAX_PHASE_KERNEL_ROWS = 64
+
+
 def q4_0_matmul_pallas(
     x: jnp.ndarray, w: Q4_0TensorT, *, compute_dtype=jnp.float32, interpret=False
 ) -> jnp.ndarray:
     """``y[..., out] = x[..., in] @ deq(W)[out, in].T``.
 
-    Small row counts go through the fused decode kernel; larger ones (and
-    untileable shapes) through the jnp dequant path (prefill is
+    Small row counts go through the fused phase-dequant kernel; larger ones
+    (and untileable shapes) through the jnp dequant path (prefill is
     compute-bound; XLA's dense matmul is fine there).  The caller handles
-    activation fake-quant for the fallback path.
+    activation fake-quant.
     """
     qs4 = jnp.asarray(w.qs4)
+    scales_t = jnp.asarray(w.scales_t)
     ot, kh4, lt = qs4.shape
     out_dim = ot * lt
     lead = x.shape[:-1]
     n_rows = int(np.prod(lead)) if lead else 1
     x2 = _pad_x_to(x.reshape(n_rows, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+
+    if _pick_kt4(kh4) and n_rows <= MAX_PHASE_KERNEL_ROWS:
+        n_pad = max(8, (n_rows + 7) // 8 * 8)
+        if n_pad != n_rows:
+            x2 = jnp.pad(x2, ((0, n_pad - n_rows), (0, 0)))
+        y = _q4_0_phase_matmul_call(x2, qs4, scales_t, interpret=interpret)
+        y = y[:n_rows]
+        return y.reshape(*lead, out_dim).astype(compute_dtype)
+
     wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
     y = jnp.dot(
         x2, wd.T, preferred_element_type=jnp.float32,

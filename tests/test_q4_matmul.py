@@ -127,3 +127,20 @@ def test_model_forward_transposed_matches_rowmajor(tiny_cfg, tiny_tensors):
                                model_lib.init_cache(cfg), cfg)
     np.testing.assert_allclose(np.asarray(l_row), np.asarray(l_t),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_phase_kernel_interpret_matches_dense():
+    """The phase-dequant kernel (magic extraction + concatenated dot) must
+    match dense dequant exactly-ish."""
+    from llama_swift_tpu.ops.q4_matmul_pallas import (
+        Q4_0TensorT as T, q4_0_matmul_pallas as mm,
+    )
+
+    rng = np.random.default_rng(11)
+    w = Q4_0Tensor.quantize(rng.standard_normal((256, 1024)).astype(np.float32) * 0.05)
+    t = T.from_q4_0(w)
+    for nrows in (1, 3, 8):
+        x = rng.standard_normal((nrows, 1024)).astype(np.float32)
+        y = mm(jnp.asarray(x), t, interpret=True)
+        ref = x @ w.dequantize().T
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
