@@ -75,6 +75,37 @@ def build_synthetic_q4_0_params(cfg):
     return tensors, total_bytes
 
 
+def build_synthetic_dense_params(cfg):
+    """Synthetic bf16 dense params (the dense-dequant serving mode), one
+    jitted dispatch; byte count reflects what decode actually streams."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.formats.ggml import expected_tensor_shapes
+
+    shapes = expected_tensor_shapes(cfg)
+
+    def gen_one(seed, shape):
+        if len(shape) == 1:
+            return jnp.ones(shape, jnp.float32)
+        rows, cols = shape
+        a = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        b = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return (0.01 * (((a * 7 + b * 13 + seed) % 97) - 48)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def gen_all():
+        return {
+            name: gen_one(i, shape)
+            for i, (name, shape) in enumerate(sorted(shapes.items()))
+        }
+
+    total = 0
+    for shape in shapes.values():
+        total += shape[0] * 4 if len(shape) == 1 else shape[0] * shape[1] * 2
+    return gen_all(), total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="7b", choices=["tiny", "1b", "7b", "13b"])
@@ -87,6 +118,12 @@ def main():
     ap.add_argument("--scan-layers", action="store_true",
                     help="scan-over-layers forward (small compile, slower "
                          "decode); default is unrolled layers")
+    ap.add_argument("--weights", default="dense-bf16",
+                    choices=["dense-bf16", "q4-packed"],
+                    help="dense-bf16: Q4 dequantized once at load, 2 B/weight "
+                         "streamed via XLA matmuls (fastest measured); "
+                         "q4-packed: 5-bit streaming via the fused Pallas "
+                         "kernels (the roofline frontier, still being tuned)")
     args = ap.parse_args()
 
     import jax
@@ -107,10 +144,16 @@ def main():
         **sizes[args.size],
     )
 
-    tensors, weight_bytes = build_synthetic_q4_0_params(cfg)
-    params = model_lib.params_from_tensors(
-        tensors, cfg, param_dtype=jnp.float32, stack_layers=args.scan_layers
-    )
+    if args.weights == "dense-bf16":
+        tensors, weight_bytes = build_synthetic_dense_params(cfg)
+        params = model_lib.params_from_tensors(
+            tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=args.scan_layers
+        )
+    else:
+        tensors, weight_bytes = build_synthetic_q4_0_params(cfg)
+        params = model_lib.params_from_tensors(
+            tensors, cfg, param_dtype=jnp.float32, stack_layers=args.scan_layers
+        )
 
     import functools
 
@@ -150,7 +193,7 @@ def main():
         out.block_until_ready()
         dt = time.perf_counter() - t0
         tok_per_s = args.steps * B / dt
-        metric = f"decode_tok_per_s_{args.size}_q4_0_batch{B}"
+        metric = f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch{B}"
     else:
         cache = model_lib.init_cache(cfg, dtype=jnp.float32)
         token = jnp.asarray(7, dtype=jnp.int32)
@@ -168,7 +211,7 @@ def main():
         toks.block_until_ready()
         dt = time.perf_counter() - t0
         tok_per_s = args.steps / dt
-        metric = f"decode_tok_per_s_{args.size}_q4_0_batch1"
+        metric = f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch1"
 
     sol_tok_per_s = args.hbm_gbps * 1e9 / weight_bytes
     result = {

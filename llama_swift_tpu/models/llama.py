@@ -62,6 +62,7 @@ def params_from_tensors(
     transpose_q4: Optional[bool] = None,
     shard_pad: int = 1,
     stack_layers: Optional[bool] = None,
+    dense_dequant: bool = False,
 ) -> Params:
     """Arrange loader output (``formats/ggml.py``) into the model pytree.
 
@@ -86,6 +87,13 @@ def params_from_tensors(
     program is one layer instead of n_layer copies (compile time drops
     ~n_layer×; the per-token graph-rebuild pathology of the reference,
     inverted).
+
+    ``dense_dequant``: decode quantized weights ONCE at load into dense
+    ``param_dtype`` arrays (2 B/weight in HBM at bf16).  Trades the 5-bit
+    streaming advantage for plain XLA matmuls at full efficiency — the
+    fastest serving mode until the fused Q4 kernels reach the roofline.
+    Activation fake-quant still applies (cfg.quantize_activations), keeping
+    the reference's quantized-dot numerics.
     """
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if param_dtype is None:
@@ -98,6 +106,8 @@ def params_from_tensors(
     from ..ops.q4_matmul_pallas import Q4_0TensorT
 
     def cvt(a):
+        if dense_dequant and isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
+            return jnp.asarray(a.dequantize(), dtype=param_dtype)
         if isinstance(a, Q4_0Tensor) and transpose_q4 and a.shape[0] % 128 == 0:
             # pad the in-dim to a 4096 multiple so in/8 is a 512 multiple:
             # the kernel then always k-tiles at KT4=512 (few, large,
