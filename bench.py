@@ -109,7 +109,7 @@ def build_synthetic_dense_params(cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="7b", choices=["tiny", "1b", "7b", "13b"])
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--batch", type=int, default=1,
                     help=">1: batched greedy decode (continuous-batching "

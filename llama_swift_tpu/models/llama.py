@@ -121,7 +121,7 @@ def params_from_tensors(
             return jax.tree_util.tree_map(jnp.asarray, a)
         if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT)):
             return jax.tree_util.tree_map(jnp.asarray, a)
-        a = np.asarray(a)
+        # keep device arrays on device (no host round trip)
         if a.ndim == 1:
             return jnp.asarray(a, dtype=jnp.float32)
         return jnp.asarray(a, dtype=param_dtype)
@@ -219,12 +219,13 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
             scales=np.pad(np.asarray(a.scales), ((0, ro), (0, co // QK))),
             qs=np.pad(np.asarray(a.qs), ((0, ro), (0, co // 2))),
         )
-    a = np.asarray(a)
-    ro = (out_to or a.shape[0]) - a.shape[0]
-    co = (in_to or a.shape[1]) - a.shape[1]
+    ro = max(0, (out_to or a.shape[0]) - a.shape[0])
+    co = max(0, (in_to or a.shape[1]) - a.shape[1])
     if not ro and not co:
         return a
-    return np.pad(a, ((0, ro), (0, co)))
+    if isinstance(a, jnp.ndarray):
+        return jnp.pad(a, ((0, ro), (0, co)))  # stays on device
+    return np.pad(np.asarray(a), ((0, ro), (0, co)))
 
 
 def _concat_out(parts: list):
