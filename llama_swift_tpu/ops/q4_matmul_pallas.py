@@ -445,20 +445,19 @@ def _q4_0_phase_kernel(xr_ref, qs4_ref, scales_ref, out_ref):
 
     xl = qs4_ref[0]
     xh = jax.lax.shift_right_logical(xl, 16)
-    ws = []
+    acc = None
     for p in range(PHASES):
         src = xl if p < 4 else xh
         bits = (src & _PHASE_MASK[p % 4]) | MAGIC
         f = pltpu.bitcast(bits, jnp.float32)
         # ((2^23 + 16^p(n)) − (2^23 + 8·16^p)) · s/16^p = (n − 8)·s, exact
-        ws.append((f - (OFFSET + 8.0 * (16 ** (p % 4)))) * s4c[p % 4])
-    wcat = jnp.concatenate(ws, axis=0)  # [8·KT4, TO], rows = p·KT4 + j
-
-    xb = xr_ref[:].reshape(n, PHASES * kt4)  # matches wcat row order
-    out_ref[:] += jnp.dot(
-        xb, wcat, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        w_p = (f - (OFFSET + 8.0 * (16 ** (p % 4)))) * s4c[p % 4]
+        d = jnp.dot(
+            xr_ref[:, p, :], w_p, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -180,3 +180,25 @@ def test_int8_kv_cache_close_to_f32(tiny_cfg, tiny_tensors):
     np.testing.assert_allclose(np.asarray(d8), np.asarray(d32), rtol=0.1, atol=0.25)
     # and they must not be wildly different in argmax ordering
     assert np.argmax(np.asarray(d8)) == np.argmax(np.asarray(d32))
+
+
+def test_dense_dequant_mode_matches_quantized(tiny_cfg, tiny_tensors):
+    """dense_dequant load mode == quantized params WITHOUT activation
+    fake-quant (dense weights carry no quantization provenance; documented
+    mode property — slightly higher fidelity than the reference's int dot)."""
+    cfg = ModelConfig.tiny(quantize_activations=False)
+    qt = {
+        k: (Q4_0Tensor.quantize(v) if v.ndim == 2 else v)
+        for k, v in tiny_tensors.items()
+    }
+    tokens = jnp.asarray([1, 5, 9], dtype=jnp.int32)
+    p_q = model_lib.params_from_tensors(qt, cfg, param_dtype=jnp.float32)
+    p_d = model_lib.params_from_tensors(
+        qt, cfg, param_dtype=jnp.float32, dense_dequant=True
+    )
+    l_q, _ = model_lib.prefill(p_q, tokens, jnp.int32(0),
+                               model_lib.init_cache(cfg), cfg)
+    l_d, _ = model_lib.prefill(p_d, tokens, jnp.int32(0),
+                               model_lib.init_cache(cfg), cfg)
+    np.testing.assert_allclose(np.asarray(l_q), np.asarray(l_d),
+                               rtol=2e-4, atol=2e-4)
