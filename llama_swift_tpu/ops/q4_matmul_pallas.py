@@ -452,9 +452,11 @@ def _q4_0_phase_kernel(xr_ref, qs4_ref, scales_ref, out_ref):
         f = pltpu.bitcast(bits, jnp.float32)
         # ((2^23 + 16^p(n)) − (2^23 + 8·16^p)) · s/16^p = (n − 8)·s, exact
         w_p = (f - (OFFSET + 8.0 * (16 ** (p % 4)))) * s4c[p % 4]
+        # HIGH (3-pass bf16) ≈ f32 for these magnitudes at half the MXU cost
+        # of HIGHEST; parity budget per SURVEY §7 #5
         d = jnp.dot(
             xr_ref[:, p, :], w_p, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
