@@ -25,8 +25,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
 
-def build_synthetic_q4_0_params(cfg):
-    """Synthetic Q4_0 params in the transposed device layout, materialized by
+def build_synthetic_q4_0_params(cfg, layout="v"):
+    """Synthetic Q4_0 params in a packed device layout ("v": VPU-matvec
+    layout, the serving default; "t": legacy tiled layout), materialized by
     ONE jitted dispatch (per-tensor host/random generation would mean
     hundreds of round trips through the TPU tunnel)."""
     import functools
@@ -36,6 +37,7 @@ def build_synthetic_q4_0_params(cfg):
 
     from llama_swift_tpu.formats.ggml import expected_tensor_shapes
     from llama_swift_tpu.ops.q4_matmul_pallas import Q4_0TensorT
+    from llama_swift_tpu.ops.q4_vpu_pallas import Q4_0TensorV
 
     shapes = expected_tensor_shapes(cfg)
     total_bytes = 0
@@ -46,6 +48,16 @@ def build_synthetic_q4_0_params(cfg):
         rows, cols = shape
         cols = (cols + 4095) // 4096 * 4096  # kernel in-dim padding (cvt parity)
         ot = rows // 128
+        if layout == "v":
+            def noise3v(d2, mod):
+                a = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 1)
+                b = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 2)
+                return (a * 7 + b * 13 + seed) % mod
+
+            qs4v = noise3v(cols // 8, 2**31 - 1).astype(jnp.int32)
+            scales_v = 0.001 + 1e-5 * noise3v(cols // 32, 97).astype(jnp.float32)
+            return Q4_0TensorV(scales_v=scales_v, qs4v=qs4v)
+
         # deterministic pseudo-noise, pure elementwise — compiles in seconds
         def noise3(d1, mod, scale, off):
             a = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 0)
@@ -115,15 +127,20 @@ def main():
                     help=">1: batched greedy decode (continuous-batching "
                          "inner loop); reports aggregate tok/s")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable QKV/W13 out-dim fusion")
+    ap.add_argument("--kv-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="KV cache dtype (bfloat16 halves decode KV traffic)")
     ap.add_argument("--scan-layers", action="store_true",
                     help="scan-over-layers forward (small compile, slower "
                          "decode); default is unrolled layers")
-    ap.add_argument("--weights", default="dense-bf16",
-                    choices=["dense-bf16", "q4-packed"],
-                    help="dense-bf16: Q4 dequantized once at load, 2 B/weight "
-                         "streamed via XLA matmuls (fastest measured); "
-                         "q4-packed: 5-bit streaming via the fused Pallas "
-                         "kernels (the roofline frontier, still being tuned)")
+    ap.add_argument("--weights", default="q4-packed",
+                    choices=["dense-bf16", "q4-packed", "q4-packed-t"],
+                    help="q4-packed: 5-bit streaming via the VPU matvec "
+                         "kernel (the serving default); q4-packed-t: legacy "
+                         "tiled layout + MXU phase kernels; dense-bf16: Q4 "
+                         "dequantized once at load, 2 B/weight XLA matmuls")
     args = ap.parse_args()
 
     import jax
@@ -141,6 +158,8 @@ def main():
     cfg = ModelConfig(
         ftype=GGMLType.Q4_0, n_ctx=args.n_ctx, n_rot=64,
         compute_dtype="float32", quantize_activations=True,
+        fuse_layer_matmuls=not args.no_fuse,
+        kv_cache_dtype=args.kv_dtype,
         **sizes[args.size],
     )
 
@@ -150,7 +169,8 @@ def main():
             tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=args.scan_layers
         )
     else:
-        tensors, weight_bytes = build_synthetic_q4_0_params(cfg)
+        layout = "t" if args.weights == "q4-packed-t" else "v"
+        tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
         params = model_lib.params_from_tensors(
             tensors, cfg, param_dtype=jnp.float32, stack_layers=args.scan_layers
         )
@@ -163,7 +183,7 @@ def main():
         # batched greedy decode under one scan: the continuous-batching
         # engine's inner loop (runtime/engine.batched_decode) at full speed
         B = args.batch
-        cache = model_lib.init_cache(cfg, dtype=jnp.float32, batch=B)
+        cache = model_lib.init_cache(cfg, batch=B)
 
         @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
         def batched_loop(params, tokens, n_pasts, cache, steps):
@@ -195,21 +215,33 @@ def main():
         tok_per_s = args.steps * B / dt
         metric = f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch{B}"
     else:
-        cache = model_lib.init_cache(cfg, dtype=jnp.float32)
-        token = jnp.asarray(7, dtype=jnp.int32)
-        # warmup/compile the scanned decode loop (greedy, fully on device —
-        # the host-driven sampled loop is measured by the runner stats)
-        toks, cache = model_lib.greedy_decode_loop(
-            params, token, jnp.int32(0), cache, cfg, args.steps
-        )
-        toks.block_until_ready()
+        import numpy as np
 
-        t0 = time.perf_counter()
-        toks, cache = model_lib.greedy_decode_loop(
-            params, toks[-1], jnp.int32(args.steps), cache, cfg, args.steps
-        )
-        toks.block_until_ready()
-        dt = time.perf_counter() - t0
+        cache = model_lib.init_cache(cfg)
+        token = jnp.asarray(7, dtype=jnp.int32)
+
+        def run(tok, start, steps, cache):
+            """One timed dispatch; np.asarray forces a real host fetch —
+            block_until_ready() does not reliably block on the tunneled
+            (axon) backend, and dispatch overhead is tens of ms, so tok/s is
+            computed from the MARGINAL cost of extra steps."""
+            t0 = time.perf_counter()
+            toks, cache = model_lib.greedy_decode_loop(
+                params, tok, jnp.int32(start), cache, cfg, steps
+            )
+            toks = np.asarray(toks)
+            return time.perf_counter() - t0, toks, cache
+
+        lo = args.steps
+        hi = 2 * args.steps
+        # warm both scan lengths (compile), then time each twice
+        _, toks, cache = run(token, 0, lo, cache)
+        _, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
+        t_lo, toks, cache = run(jnp.asarray(toks[-1]), 0, lo, cache)
+        t_hi, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
+        t_lo2, toks, cache = run(jnp.asarray(toks[-1]), 0, lo, cache)
+        t_hi2, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
+        dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
         tok_per_s = args.steps / dt
         metric = f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch1"
 

@@ -60,6 +60,7 @@ def params_from_tensors(
     *,
     param_dtype: Optional[Any] = None,
     transpose_q4: Optional[bool] = None,
+    q4_layout: Optional[str] = None,
     shard_pad: int = 1,
     stack_layers: Optional[bool] = None,
     dense_dequant: bool = False,
@@ -71,9 +72,13 @@ def params_from_tensors(
     Norm weights are always f32 (they are 1-D f32 in the file,
     ``convert-pth-to-ggml.py:154-159``).
 
-    ``transpose_q4`` (default: on TPU backends) stores Q4_0 weights in the
-    contraction-major device layout the fused Pallas kernel wants
-    (``ops/q4_matmul_pallas.py``).
+    ``q4_layout`` picks the Q4_0 device layout: ``"v"`` (default on TPU,
+    single-host) = the VPU-matvec layout (``ops/q4_vpu_pallas.py``) whose
+    batch-1 decode kernel streams packed nibbles at HBM rate; ``"t"`` = the
+    contraction-major tiled layout (``ops/q4_matmul_pallas.py``), used when
+    ``shard_pad > 1`` (TP in-dim sharding is undefined on the V layout's
+    group-major lanes); ``"none"`` = keep the logical row-major blocks
+    (CPU/tests).  ``transpose_q4`` is the legacy boolean for ``"t"``.
 
     ``shard_pad``: zero-pad the FFN hidden (w1/w3 out + w2 in) and vocab
     (output out) dims up to a multiple of this — pass ``128 * tp`` when
@@ -98,28 +103,44 @@ def params_from_tensors(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if param_dtype is None:
         param_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    if transpose_q4 is None:
-        transpose_q4 = on_tpu
+    if q4_layout is None:
+        if transpose_q4:
+            q4_layout = "t"
+        elif transpose_q4 is None and on_tpu:
+            # V layout serves batch-1 decode fastest; TP in-dim sharding
+            # needs the T layout (see parallel/sharding.py)
+            q4_layout = "t" if shard_pad > 1 else "v"
+        else:
+            q4_layout = "none"
     if stack_layers is None:
         stack_layers = True
 
     from ..ops.q4_matmul_pallas import Q4_0TensorT
+    from ..ops.q4_vpu_pallas import Q4_0TensorV
 
     def cvt(a):
         if dense_dequant and isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
             return jnp.asarray(a.dequantize(), dtype=param_dtype)
-        if isinstance(a, Q4_0Tensor) and transpose_q4 and a.shape[0] % 128 == 0:
-            # pad the in-dim to a 4096 multiple so in/8 is a 512 multiple:
-            # the kernel then always k-tiles at KT4=512 (few, large,
-            # contiguous blocks). Zero blocks are exact; matmul wrappers
-            # zero-pad activations to match.
+        if (
+            isinstance(a, Q4_0Tensor)
+            and q4_layout in ("t", "v")
+            and a.shape[0] % 128 == 0
+        ):
+            # pad the in-dim to a 4096 multiple: T always k-tiles at KT4=512
+            # (few, large, contiguous blocks); V keeps block-lanes (in/32)
+            # 128-aligned for its contiguous-slice block reduction.  Zero
+            # blocks are exact; matmul wrappers zero-pad activations.
             in_dim = a.shape[1]
             in_pad = (in_dim + 4095) // 4096 * 4096
             if in_pad != in_dim:
                 a = _pad_weight(a, in_to=in_pad)
-            a = Q4_0TensorT.from_q4_0(a)
+            a = (
+                Q4_0TensorT.from_q4_0(a)
+                if q4_layout == "t"
+                else Q4_0TensorV.from_q4_0(a)
+            )
             return jax.tree_util.tree_map(jnp.asarray, a)
-        if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT)):
+        if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT, Q4_0TensorV)):
             return jax.tree_util.tree_map(jnp.asarray, a)
         # keep device arrays on device (no host round trip)
         if a.ndim == 1:
@@ -189,13 +210,14 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
     result is bit-identical on the original span.
     """
     from ..ops.q4_matmul_pallas import Q4_0TensorT
+    from ..ops.q4_vpu_pallas import Q4_0TensorV
 
-    if isinstance(a, Q4_0TensorT):
+    if isinstance(a, (Q4_0TensorT, Q4_0TensorV)):
         rows, cols = a.shape
         if (out_to or rows) <= rows and (in_to or cols) <= cols:
             return a  # already at/above target (e.g. kernel in-dim padding)
         raise ValueError(
-            "shard padding of pre-tiled Q4_0TensorT params is unsupported; "
+            "shard padding of pre-tiled Q4 device layouts is unsupported; "
             "pad before tiling (pass row-major tensors with shard_pad)"
         )
     if isinstance(a, Q4_0Tensor):
@@ -235,6 +257,7 @@ def _concat_out(parts: list):
     numpy inputs concatenate on host.
     """
     from ..ops.q4_matmul_pallas import Q4_0TensorT
+    from ..ops.q4_vpu_pallas import Q4_0TensorV
 
     def cat(leaves, axis=0):
         if any(isinstance(l, jnp.ndarray) for l in leaves):
@@ -257,6 +280,12 @@ def _concat_out(parts: list):
         return Q4_0TensorT(
             scales_t=cat([p.scales_t for p in parts], axis=0),
             qs4=cat([p.qs4 for p in parts], axis=0),
+        )
+    if isinstance(parts[0], Q4_0TensorV):
+        # VPU layout [out/128, 128, in/8]: out is axes 0+1, tile-aligned
+        return Q4_0TensorV(
+            scales_v=cat([p.scales_v for p in parts], axis=0),
+            qs4v=cat([p.qs4v for p in parts], axis=0),
         )
     return cat(list(parts))
 
@@ -455,9 +484,14 @@ def forward(
         # materializes a per-layer weight copy; instead the kernel indexes
         # the stacked HBM buffer via scalar prefetch (StackedQ4Ref).
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
+        from ..ops.q4_vpu_pallas import Q4_0TensorV, StackedQ4VRef
 
         stacked = params["layers_stacked"]
-        q4_keys = [k for k, v in stacked.items() if isinstance(v, Q4_0TensorT)]
+        q4_keys = [
+            k
+            for k, v in stacked.items()
+            if isinstance(v, (Q4_0TensorT, Q4_0TensorV))
+        ]
         xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
         il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
 
@@ -465,7 +499,12 @@ def forward(
             il, layer_small, cl = xs
             layer = dict(layer_small)
             for k in q4_keys:
-                layer[k] = StackedQ4Ref(stacked[k], il)
+                ref = (
+                    StackedQ4VRef
+                    if isinstance(stacked[k], Q4_0TensorV)
+                    else StackedQ4Ref
+                )
+                layer[k] = ref(stacked[k], il)
             x, cl = layer_fn(x, layer, cl)
             return x, cl
 

@@ -1,0 +1,365 @@
+"""VPU-only fused Q4_0 matvec kernel — the batch-1 decode replacement for
+``ggml_vec_dot_q4_0`` (``Sources/cpp/ggml.c:1296-1582``).
+
+Why not the MXU?  Every earlier kernel design (BASELINE.md measured table)
+pushed the dequantized weights through the MXU as the *stationary* operand.
+Loading a 128×128 weight tile into the systolic array costs ~128 cycles —
+~128 weights/cycle ≈ 1.2e11 weights/s — so a 7B forward (6.7e9 weights) has
+a hard MXU-weight-load floor of ~55 ms/token at batch 1 no matter how cheap
+the dequant is.  That floor is exactly the ~20-26 tok/s every MXU variant
+measured.  A matvec has 2 FLOPs/weight; the VPU does those directly.
+
+Design (per 128-out × in tile, grid over out tiles only):
+
+* **Layout** (:class:`Q4_0TensorV`): out rows on sublanes, packed in-dim on
+  lanes — ``qs4v`` int32 ``[out/128, 128, in/8]`` (eight nibbles per lane),
+  ``scales_v`` f32 ``[out/128, 128, in/32]``.  One grid step = one fully
+  contiguous HBM slab; the whole weight streams front-to-back.  Lanes are
+  **group-major**: lane ``g·(in/32) + b`` holds u32 #g of block b, so the
+  per-block reduction is four contiguous 128-aligned lane slices (Mosaic
+  cannot lower a lane-splitting reshape; strided lane gathers shuffle).
+* **cvt-dequant fused into the MAC.**  Phase p∈[0,7) isolates nibble p with
+  one AND (fields ``n·16^p`` stay positive below bit 28); int→f32 convert is
+  exact; one fused multiply-add against the phase's activation lane-vector
+  (pre-scaled by ``16^-p``) accumulates ``n·x``.  Phase 7 (bits 28-31, sign
+  bit) uses one logical right-shift instead of a mask.  ≈3.1 VPU ops/weight
+  vs the ~2.9/weight VPU budget at the 819 GB/s HBM roofline.
+* **−8 bias and scales applied per block on the reduced result**: the
+  reference's integer dot ``Σ(n−8)(m−8)·d_w·d_x`` is reproduced exactly —
+  activations quantize per 32-block to integers (amax/7, round half away,
+  ``ggml.c:568-601``), all per-block partial sums are exact small integers
+  in f32, and scales multiply once per block.
+
+Activations enter as a phase-major ``[8, in/8]`` f32 array; block
+corrections/activation scales as a ``[2, in/32]`` aux array.  Both are
+grid-invariant (fetched once, resident in VMEM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import QK
+from ..formats.quant import Q4_0Tensor
+from .q4_matmul_pallas import quantize_activations_q4_0_int
+
+PHASES = 8
+OUT_TILE = 128  # out rows per grid step (sublane-major)
+OUT_LANES = 8  # lanes of the (broadcast) per-tile output column
+IN_ALIGN = 4096  # in-dim padding unit: in/32 block-lanes stay 128-aligned
+
+_MASKS = [0xF << (4 * p) for p in range(7)]  # phases 0-6; phase 7 shifts
+_XSCALE = [float(16.0 ** -p) for p in range(7)] + [1.0]
+
+
+@dataclasses.dataclass
+class Q4_0TensorV:
+    """Q4_0 weight in the VPU-matvec device layout.
+
+    Logical weight [out, in] (`Q4_0Tensor` row-major semantics, ggml block
+    layout ``ggml.c:408-411``); stored as ``qs4v`` int32 [out/128, 128, in/8]
+    (4 packed little-endian bytes per lane = 8 consecutive in-elements) and
+    ``scales_v`` f32 [out/128, 128, in/32].
+    """
+
+    scales_v: jnp.ndarray
+    qs4v: jnp.ndarray
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.qs4v.shape[0] * OUT_TILE, self.qs4v.shape[2] * PHASES)
+
+    @classmethod
+    def from_q4_0(cls, w: Q4_0Tensor) -> "Q4_0TensorV":
+        qs = np.asarray(w.qs)  # u8 [out, in/2]
+        scales = np.asarray(w.scales).astype(np.float32)  # [out, in/32]
+        out, kh = qs.shape
+        assert out % OUT_TILE == 0, f"out dim {out} not a multiple of {OUT_TILE}"
+        assert kh % 4 == 0, kh
+        qs4 = qs.reshape(out, kh // 4, 4)
+        qs4 = (
+            qs4[:, :, 0].astype(np.uint32)
+            | (qs4[:, :, 1].astype(np.uint32) << 8)
+            | (qs4[:, :, 2].astype(np.uint32) << 16)
+            | (qs4[:, :, 3].astype(np.uint32) << 24)
+        ).view(np.int32)
+        # group-major lane order: lane g·nb + b = u32 #g of block b
+        nb = kh // 16
+        qs4 = qs4.reshape(out, nb, 4).transpose(0, 2, 1).reshape(out, nb * 4)
+        ot = out // OUT_TILE
+        return cls(
+            scales_v=np.ascontiguousarray(scales.reshape(ot, OUT_TILE, -1)),
+            qs4v=np.ascontiguousarray(qs4.reshape(ot, OUT_TILE, -1)),
+        )
+
+    def to_q4_0(self) -> Q4_0Tensor:
+        qs4 = np.asarray(self.qs4v).view(np.uint32)
+        ot, lt, kh4 = qs4.shape
+        nb = kh4 // 4
+        qs4 = (
+            qs4.reshape(ot * lt, 4, nb).transpose(0, 2, 1).reshape(ot * lt, kh4)
+        )
+        qs = np.empty((ot * lt, kh4, 4), dtype=np.uint8)
+        for b in range(4):
+            qs[:, :, b] = ((qs4 >> (8 * b)) & 0xFF).astype(np.uint8)
+        return Q4_0Tensor(
+            scales=np.asarray(self.scales_v).reshape(ot * lt, -1),
+            qs=qs.reshape(ot * lt, kh4 * 4),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    Q4_0TensorV,
+    lambda t: ((t.scales_v, t.qs4v), None),
+    lambda _, leaves: Q4_0TensorV(*leaves),
+)
+
+
+def dequantize_q4_0v_jnp(w: Q4_0TensorV, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense [out, in] from the V layout (prefill / fallback path)."""
+    qs4 = jnp.asarray(w.qs4v).view(jnp.uint32)  # [ot, 128, kh4]
+    scales = jnp.asarray(w.scales_v).astype(jnp.float32)  # [ot, 128, nb]
+    ot, lt, kh4 = qs4.shape
+    nb = kh4 // 4
+    qs4 = qs4.reshape(ot, lt, 4, nb).transpose(0, 1, 3, 2)  # undo group-major
+    vals = jnp.stack(
+        [
+            ((qs4 >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(jnp.float32)
+            - 8.0
+            for p in range(PHASES)
+        ],
+        axis=-1,
+    )  # [ot, 128, nb, 4, 8]; element index = 32b + 8g + p
+    in_dim = kh4 * PHASES
+    s = jnp.repeat(scales, QK, axis=2).reshape(ot, lt, in_dim)
+    return (vals.reshape(ot, lt, in_dim) * s).reshape(ot * lt, in_dim).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _vpu_core(xl, xr_ref, aux_ref, scales):
+    """acc/reduce/scale shared by the single and stacked kernels.
+
+    xl: i32 [128, KH4]; xr: f32 [8, KH4] phase-major pre-scaled activations;
+    aux: f32 [2, NB] (row 0: activation block scales d_x, row 1: 8·Σ_b x);
+    scales: f32 [128, NB].  Returns y [128, 1] f32.
+    """
+    kh4 = xl.shape[1]
+    nb = kh4 // 4
+    acc = (xl & _MASKS[0]).astype(jnp.float32) * xr_ref[0:1, :]
+    for p in range(1, 7):
+        acc = acc + (xl & _MASKS[p]).astype(jnp.float32) * xr_ref[p : p + 1, :]
+    top = jax.lax.shift_right_logical(xl, 28)
+    acc = acc + top.astype(jnp.float32) * xr_ref[7:8, :]
+    # per-block partial sums; group-major lanes make these contiguous
+    # 128-aligned slices (exact small-int arithmetic throughout)
+    accb = (
+        acc[:, 0 * nb : 1 * nb]
+        + acc[:, 1 * nb : 2 * nb]
+        + acc[:, 2 * nb : 3 * nb]
+        + acc[:, 3 * nb : 4 * nb]
+    )  # [128, NB]
+    s_eff = scales * aux_ref[0:1, :]  # d_w · d_x
+    return jnp.sum((accb - aux_ref[1:2, :]) * s_eff, axis=1, keepdims=True)
+
+
+def _q4_0_vpu_kernel(xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
+    y = _vpu_core(qs4_ref[0], xr_ref, aux_ref, scales_ref[0])
+    out_ref[0] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
+
+
+def _q4_0_vpu_kernel_stacked(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
+    del il_ref  # consumed by the BlockSpec index maps
+    y = _vpu_core(qs4_ref[0, 0], xr_ref, aux_ref, scales_ref[0, 0])
+    out_ref[0] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _prep_inputs(x2: jnp.ndarray, kh4: int, quantize_acts: bool):
+    """x2 f32 [1, in] → (xr [8, kh4] phase-major·16^-p, aux [2, nb])."""
+    in_dim = kh4 * PHASES
+    nb = in_dim // QK
+    if quantize_acts:
+        qx, dx = quantize_activations_q4_0_int(x2)
+        qx = qx[0]
+        dxv = dx[0]
+    else:
+        qx = x2[0].astype(jnp.float32)
+        dxv = jnp.ones((nb,), jnp.float32)
+    xsc = jnp.asarray(_XSCALE, jnp.float32)
+    # group-major lane order to match the weight layout: xr[p, g·nb + b]
+    # = qx[32b + 8g + p] · 16^-p
+    xr = qx.reshape(nb, 4, PHASES).transpose(2, 1, 0).reshape(PHASES, kh4)
+    xr = xr * xsc[:, None]  # [8, kh4]
+    corr = 8.0 * qx.reshape(nb, QK).sum(axis=1)
+    aux = jnp.stack([dxv, corr])  # [2, nb]
+    return xr, aux
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_vpu_call(xr, aux, qs4v, scales_v, *, interpret=False):
+    ot, lt, kh4 = qs4v.shape
+    nb = scales_v.shape[2]
+    out = pl.pallas_call(
+        _q4_0_vpu_kernel,
+        grid=(ot,),
+        in_specs=[
+            pl.BlockSpec((PHASES, kh4), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nb), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, kh4), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, nb), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, lt, OUT_LANES), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ot * lt * kh4 * PHASES,
+            bytes_accessed=ot * lt * (kh4 + nb) * 4,
+            transcendentals=0,
+        ),
+    )(xr, aux, qs4v, scales_v)
+    return out[:, :, 0].reshape(ot * lt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_vpu_call_stacked(layer_idx, xr, aux, qs4v, scales_v, *, interpret=False):
+    """Stacked-layer variant: weights [L, ot, 128, ·] stay in HBM, the layer
+    is chosen via scalar prefetch (same trick as the T-layout kernels — a
+    lax.scan slicing the stack into a pallas operand would copy weight-sized
+    buffers per layer)."""
+    L, ot, lt, kh4 = qs4v.shape
+    nb = scales_v.shape[3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ot,),
+        in_specs=[
+            pl.BlockSpec((PHASES, kh4), lambda j, il: (0, 0)),
+            pl.BlockSpec((2, nb), lambda j, il: (0, 0)),
+            pl.BlockSpec((1, 1, lt, kh4), lambda j, il: (il[0], j, 0, 0)),
+            pl.BlockSpec((1, 1, lt, nb), lambda j, il: (il[0], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, lt, OUT_LANES), lambda j, il: (j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _q4_0_vpu_kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, scales_v)
+    return out[:, :, 0].reshape(ot * lt)
+
+
+@dataclasses.dataclass
+class StackedQ4VRef:
+    """Stacked V-layout weights + traced layer index (scan-over-layers)."""
+
+    w: Q4_0TensorV  # leaves have a leading [L] axis
+    layer_idx: object
+
+    def at_layer(self) -> Q4_0TensorV:
+        return Q4_0TensorV(
+            scales_v=jnp.asarray(self.w.scales_v)[self.layer_idx],
+            qs4v=jnp.asarray(self.w.qs4v)[self.layer_idx],
+        )
+
+
+def _pad_x(x2: jnp.ndarray, in_dim: int) -> jnp.ndarray:
+    if x2.shape[-1] < in_dim:
+        x2 = jnp.pad(x2, ((0, 0), (0, in_dim - x2.shape[-1])))
+    return x2
+
+
+def q4_0_vpu_matvec(
+    x: jnp.ndarray,
+    w: Q4_0TensorV,
+    *,
+    quantize_acts: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``y[..., out] = x[..., in] @ deq(W).T`` for a single activation row.
+
+    Integer-exact reference semantics when ``quantize_acts`` (the default):
+    matches ``ggml_vec_dot_q4_0`` with scalar-rounded activation quantization
+    end to end.
+    """
+    qs4v = jnp.asarray(w.qs4v)
+    scales_v = jnp.asarray(w.scales_v)
+    ot, lt, kh4 = qs4v.shape
+    lead = x.shape[:-1]
+    assert int(np.prod(lead)) == 1 if lead else True, "matvec kernel: 1 row"
+    x2 = _pad_x(x.reshape(1, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+    xr, aux = _prep_inputs(x2, kh4, quantize_acts)
+    y = _q4_0_vpu_call(xr, aux, qs4v, scales_v, interpret=interpret)
+    return y.reshape(*lead, ot * lt).astype(compute_dtype)
+
+
+def q4_0_vpu_matvec_stacked(
+    x: jnp.ndarray,
+    w: Q4_0TensorV,
+    layer_idx,
+    *,
+    quantize_acts: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    qs4v = jnp.asarray(w.qs4v)
+    scales_v = jnp.asarray(w.scales_v)
+    L, ot, lt, kh4 = qs4v.shape
+    lead = x.shape[:-1]
+    assert int(np.prod(lead)) == 1 if lead else True, "matvec kernel: 1 row"
+    x2 = _pad_x(x.reshape(1, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+    xr, aux = _prep_inputs(x2, kh4, quantize_acts)
+    y = _q4_0_vpu_call_stacked(
+        layer_idx, xr, aux, qs4v, scales_v, interpret=interpret
+    )
+    return y.reshape(*lead, ot * lt).astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# bandwidth probe (microbench only)
+# ---------------------------------------------------------------------------
+
+
+def _stream_probe_kernel(b_ref, qs4_ref, out_ref):
+    t = qs4_ref[0] + b_ref[0, 0]  # data dependency: keeps timing loops honest
+    out_ref[0] = jnp.broadcast_to(
+        jnp.sum(t, axis=1, keepdims=True), (OUT_TILE, OUT_LANES)
+    ).astype(jnp.float32)
+
+
+@jax.jit
+def stream_probe(qs4v, bias):
+    """Reads every weight byte with ~minimal VPU work: the pure-HBM-stream
+    upper bound for this grid/launch structure.  ``bias`` (i32 scalar) is
+    mixed in so repeated calls in a timing loop can't be CSE'd/hoisted."""
+    ot, lt, kh4 = qs4v.shape
+    out = pl.pallas_call(
+        _stream_probe_kernel,
+        grid=(ot,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, lt, kh4), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, lt, OUT_LANES), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+    )(bias.reshape(1, 1).astype(jnp.int32), qs4v)
+    return out[:, 0, 0]

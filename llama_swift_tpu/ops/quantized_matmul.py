@@ -126,6 +126,52 @@ def linear(
         q4_0_int_matmul_pallas_stacked,
         q4_0_matmul_pallas,
     )
+    from .q4_vpu_pallas import (
+        Q4_0TensorV,
+        StackedQ4VRef,
+        dequantize_q4_0v_jnp,
+        q4_0_vpu_matvec,
+        q4_0_vpu_matvec_stacked,
+    )
+
+    if isinstance(w, StackedQ4VRef):
+        use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
+        n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        if use_pallas and n_rows == 1:
+            return q4_0_vpu_matvec_stacked(
+                x, w.w, w.layer_idx,
+                quantize_acts=quantize_activations, compute_dtype=compute_dtype,
+            )
+        return linear(
+            x, w.at_layer(), quantize_activations=quantize_activations,
+            compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
+        )
+
+    if isinstance(w, Q4_0TensorV):
+        use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
+        n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        if use_pallas and n_rows == 1:
+            # batch-1 decode: the VPU matvec kernel streams packed nibbles
+            # at HBM rate (exact reference int4-dot semantics when
+            # quantize_activations)
+            return q4_0_vpu_matvec(
+                x, w, quantize_acts=quantize_activations,
+                compute_dtype=compute_dtype,
+            )
+        # prefill / batched rows: dense-dequant matmul (compute-bound)
+        if quantize_activations:
+            x = fake_quantize_q4_0(x)
+        from .q4_vpu_pallas import _pad_x
+
+        lead = x.shape[:-1]
+        n_rows = int(np.prod(lead)) if lead else 1
+        x2 = _pad_x(
+            x.reshape(n_rows, x.shape[-1]).astype(compute_dtype),
+            w.qs4v.shape[2] * 8,
+        )
+        wd = dequantize_q4_0v_jnp(w, dtype=compute_dtype)
+        y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
+        return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
 
     if isinstance(w, StackedQ4Ref):
         use_pallas = prefer_pallas if prefer_pallas is not None else _on_tpu()
@@ -207,6 +253,30 @@ def embedding_lookup(
     """``ggml_get_rows`` equivalent (``ggml.c:6760-6920``): rows of the
     (possibly quantized) embedding table, dequantized to f32 per row."""
     from .q4_matmul_pallas import LANE_TILE, Q4_0TensorT
+    from .q4_vpu_pallas import Q4_0TensorV
+
+    if isinstance(w, Q4_0TensorV):
+        # V layout [out/128, 128, in/8]: row r at (r//128, r%128, :), lanes
+        # group-major (lane g·nb + b = u32 #g of block b)
+        ot_idx = tokens // 128
+        sub_idx = tokens % 128
+        qs4_rows = jnp.asarray(w.qs4v)[ot_idx, sub_idx, :].view(jnp.uint32)  # [N, kh4]
+        sc_rows = jnp.asarray(w.scales_v)[ot_idx, sub_idx, :]  # [N, nb]
+        n, kh4 = qs4_rows.shape
+        nb = kh4 // 4
+        qs4_rows = qs4_rows.reshape(n, 4, nb).transpose(0, 2, 1)  # [N, nb, 4]
+        vals = jnp.stack(
+            [
+                ((qs4_rows >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(
+                    jnp.float32
+                )
+                - 8.0
+                for p in range(8)
+            ],
+            axis=-1,
+        )  # [N, nb, 4, 8]; element index = 32b + 8g + p
+        vals = vals.reshape(n, nb, 32) * sc_rows[:, :, None]
+        return vals.reshape(n, nb * 32).astype(compute_dtype)
 
     if isinstance(w, Q4_0TensorT):
         # tiled layout [out/128, X, 128]: row r lives at (r//128, :, r%128)

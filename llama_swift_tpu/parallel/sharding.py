@@ -69,6 +69,7 @@ def _wrap_quant(spec: P, w: Any, stacked: bool = False) -> Any:
     Transposed (contraction-major) Q4 layouts swap the spec axes; ``stacked``
     prepends a replicated layer axis (scan-over-layers param layout)."""
     from ..ops.q4_matmul_pallas import Q4_0TensorT
+    from ..ops.q4_vpu_pallas import Q4_0TensorV
 
     def lift(s: P) -> P:
         return P(None, *tuple(s)) if stacked else s
@@ -87,6 +88,18 @@ def _wrap_quant(spec: P, w: Any, stacked: bool = False) -> Any:
         else:
             tspec = P(None, None, None)
         return Q4_0TensorT(scales_t=lift(tspec), qs4=lift(tspec))
+    if isinstance(w, Q4_0TensorV):
+        # VPU layout [out/128, 128, in/8]: out shards on the tile axis.
+        # In-dim (COL_PARALLEL) sharding is NOT supported on this layout:
+        # group-major lanes interleave nibble groups across the in range, so
+        # a lane split does not correspond to an in split (TP in-sharding
+        # uses the T/logical layouts; params_from_tensors keeps q4_layout
+        # "t" when shard_pad > 1).
+        if spec == ROW_PARALLEL:
+            vspec = P("tp", None, None)
+        else:
+            vspec = P(None, None, None)
+        return Q4_0TensorV(scales_v=lift(vspec), qs4v=lift(vspec))
     return lift(spec)
 
 
