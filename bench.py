@@ -127,6 +127,8 @@ def main():
                     help=">1: batched greedy decode (continuous-batching "
                          "inner loop); reports aggregate tok/s")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
+    ap.add_argument("--flash", action="store_true",
+                    help="use the flash-decode attention kernel")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable QKV/W13 out-dim fusion")
     ap.add_argument("--kv-dtype", default="bfloat16",
@@ -160,6 +162,7 @@ def main():
         compute_dtype="float32", quantize_activations=True,
         fuse_layer_matmuls=not args.no_fuse,
         kv_cache_dtype=args.kv_dtype,
+        use_flash_decode=args.flash,
         **sizes[args.size],
     )
 

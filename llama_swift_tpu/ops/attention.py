@@ -33,9 +33,12 @@ NEG_INF = -1e30
 def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref):
     """One (head, chunk) step of online-softmax single-query attention.
 
-    q: [1, Dh]; k/v chunk: [1, C, Dh]; out: [1, Dh];
-    scratch m/l: [1, 128] (col 0 live), acc: [1, Dh].
+    q: [H, Dh] and out: [H, Dh] are full-array VMEM blocks (Mosaic requires
+    the last two block dims be (8, 128)-divisible or whole — a (1, Dh)
+    per-head block is neither); the kernel indexes the live head's row.
+    k/v chunk: [1, C, Dh]; scratch m/l: [1, 128] (col 0 live), acc: [1, Dh].
     """
+    i = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     chunk = k_ref.shape[1]
@@ -49,9 +52,10 @@ def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, 
 
     n_past = npast_ref[0]
     scale = 1.0 / np.sqrt(float(dh))
+    q = q_ref[pl.dslice(i, 1), :].astype(jnp.float32)  # [1, Dh]
     k = k_ref[0].astype(jnp.float32)  # [C, Dh]
     s = jax.lax.dot_general(
-        q_ref[:].astype(jnp.float32), k,
+        q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [1, C]
@@ -62,18 +66,22 @@ def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, 
     m_new = jnp.maximum(m_prev, jnp.max(s))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # [1, C]
-    l_ref[0, 0] = l_ref[0, 0] * alpha + jnp.sum(p)
+    # vector stores only (Mosaic rejects scalar VMEM stores): every lane of
+    # the m/l scratch rows carries the same value
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p)
     pv = jax.lax.dot_general(
         p, v_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [1, Dh]
     acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[0, 0] = m_new
+    m_ref[:] = jnp.full_like(m_ref, m_new)
 
     @pl.when(c == n_chunks - 1)
     def _():
-        out_ref[:] = (acc_ref[:] / l_ref[0, 0]).astype(out_ref.dtype)
+        out_ref[pl.dslice(i, 1), :] = (acc_ref[:] / l_ref[0, 0]).astype(
+            out_ref.dtype
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
@@ -100,11 +108,11 @@ def flash_decode_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dh), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, dh), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, dh), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((h, dh), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, 128), jnp.float32),
@@ -113,6 +121,101 @@ def flash_decode_attention(
         ],
         interpret=interpret,
     )(npast_arr, q, keys, values)
+
+
+def _flash_decode_stacked_kernel(
+    s_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref
+):
+    """Stacked-cache variant: k/v blocks are DMA'd straight out of the full
+    [L, H, n_ctx, Dh] cache buffer (the layer picked by the scalar-prefetch
+    index map) — no [H, n_ctx, Dh] plane is ever materialized in HBM.
+    s_ref: [2] i32 = (layer_idx, n_past)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    chunk = k_ref.shape[2]
+    dh = q_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_past = s_ref[1]
+    scale = 1.0 / np.sqrt(float(dh))
+    q = q_ref[pl.dslice(i, 1), :].astype(jnp.float32)  # [1, Dh]
+    k = k_ref[0, 0].astype(jnp.float32)  # [C, Dh]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [1, C]
+    j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    s = jnp.where(j <= n_past, s, NEG_INF)
+
+    m_prev = m_ref[0, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [1, C]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p)
+    pv = jax.lax.dot_general(
+        p, v_ref[0, 0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, Dh]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.full_like(m_ref, m_new)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[pl.dslice(i, 1), :] = (acc_ref[:] / l_ref[0, 0]).astype(
+            out_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def flash_decode_attention_stacked(
+    q: jnp.ndarray,  # [H, Dh] single query, post-rope
+    keys: jnp.ndarray,  # [L, H, n_ctx, Dh] full stacked cache
+    values: jnp.ndarray,  # [L, H, n_ctx, Dh]
+    layer_idx,  # scalar int32
+    n_past: jnp.ndarray,  # scalar int32: attend slots j <= n_past
+    *,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused single-query attention reading one layer of the stacked cache
+    in place; returns [H, Dh] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    L, h, n_ctx, dh = keys.shape
+    chunk = min(chunk, n_ctx)
+    assert n_ctx % chunk == 0, (n_ctx, chunk)
+    scalars = jnp.stack(
+        [jnp.asarray(layer_idx, jnp.int32), jnp.asarray(n_past, jnp.int32)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h, n_ctx // chunk),
+        in_specs=[
+            pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+            pl.BlockSpec((1, 1, chunk, dh), lambda i, c, s: (s[0], i, c, 0)),
+            pl.BlockSpec((1, 1, chunk, dh), lambda i, c, s: (s[0], i, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_decode_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, keys, values)
 
 
 def reference_decode_attention(q, keys, values, n_past):
