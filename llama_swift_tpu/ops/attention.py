@@ -126,15 +126,18 @@ def flash_decode_attention(
 def _flash_decode_stacked_kernel(
     s_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref
 ):
-    """Stacked-cache variant: k/v blocks are DMA'd straight out of the full
-    [L, H, n_ctx, Dh] cache buffer (the layer picked by the scalar-prefetch
-    index map) — no [H, n_ctx, Dh] plane is ever materialized in HBM.
-    s_ref: [2] i32 = (layer_idx, n_past)."""
+    """One (head-block, chunk) step.  k/v blocks are DMA'd straight out of
+    the full [L, H, n_ctx, Dh] cache buffer (the layer picked by the
+    scalar-prefetch index map) — no [H, n_ctx, Dh] plane is ever
+    materialized in HBM.  HB heads per step (vs one) makes each DMA
+    HB·C·Dh·2 bytes — single-head blocks measured only ~370 GB/s.
+    s_ref: [2] i32 = (layer_idx, n_past); q/out: [H, Dh] whole-array blocks;
+    k/v: [1, HB, C, Dh]; scratch m/l: [HB, 128] (lane-replicated), acc:
+    [HB, Dh]."""
     i = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    chunk = k_ref.shape[2]
-    dh = q_ref.shape[1]
+    hb, chunk, dh = k_ref.shape[1], k_ref.shape[2], q_ref.shape[1]
 
     @pl.when(c == 0)
     def _():
@@ -144,37 +147,52 @@ def _flash_decode_stacked_kernel(
 
     n_past = s_ref[1]
     scale = 1.0 / np.sqrt(float(dh))
-    q = q_ref[pl.dslice(i, 1), :].astype(jnp.float32)  # [1, Dh]
-    k = k_ref[0, 0].astype(jnp.float32)  # [C, Dh]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [1, C]
-    j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    qb = q_ref[pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
+    # per-head 2D dots, statically unrolled (Mosaic's dot lowering has no
+    # batch dims in this jax version)
+    s = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                qb[hh : hh + 1],
+                k_ref[0, hh].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh in range(hb)
+        ],
+        axis=0,
+    ) * scale  # [HB, C]
+    j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
     s = jnp.where(j <= n_past, s, NEG_INF)
 
-    m_prev = m_ref[0, 0]
-    m_new = jnp.maximum(m_prev, jnp.max(s))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [1, C]
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p)
-    pv = jax.lax.dot_general(
-        p, v_ref[0, 0].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, Dh]
+    m_prev = m_ref[:, 0:1]  # [HB, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # [HB, 1]
+    p = jnp.exp(s - m_new)  # [HB, C]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                p[hh : hh + 1],
+                v_ref[0, hh].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh in range(hb)
+        ],
+        axis=0,
+    )  # [HB, Dh]
     acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.full_like(m_ref, m_new)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(c == n_chunks - 1)
     def _():
-        out_ref[pl.dslice(i, 1), :] = (acc_ref[:] / l_ref[0, 0]).astype(
-            out_ref.dtype
-        )
+        out_ref[pl.dslice(i * hb, hb), :] = (
+            acc_ref[:] / l_ref[:, 0:1]
+        ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "h_block", "interpret"))
 def flash_decode_attention_stacked(
     q: jnp.ndarray,  # [H, Dh] single query, post-rope
     keys: jnp.ndarray,  # [L, H, n_ctx, Dh] full stacked cache
@@ -183,6 +201,7 @@ def flash_decode_attention_stacked(
     n_past: jnp.ndarray,  # scalar int32: attend slots j <= n_past
     *,
     chunk: int = 512,
+    h_block: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused single-query attention reading one layer of the stacked cache
@@ -192,22 +211,32 @@ def flash_decode_attention_stacked(
     L, h, n_ctx, dh = keys.shape
     chunk = min(chunk, n_ctx)
     assert n_ctx % chunk == 0, (n_ctx, chunk)
+    if h_block is None:
+        # ≤ ~1 MiB per k/v block; double-buffered pairs stay well under VMEM
+        h_block = max(1, min(h, (1 << 20) // (chunk * dh * keys.dtype.itemsize)))
+        while h % h_block:
+            h_block -= 1
+    assert h % h_block == 0, (h, h_block)
     scalars = jnp.stack(
         [jnp.asarray(layer_idx, jnp.int32), jnp.asarray(n_past, jnp.int32)]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(h, n_ctx // chunk),
+        grid=(h // h_block, n_ctx // chunk),
         in_specs=[
             pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
-            pl.BlockSpec((1, 1, chunk, dh), lambda i, c, s: (s[0], i, c, 0)),
-            pl.BlockSpec((1, 1, chunk, dh), lambda i, c, s: (s[0], i, c, 0)),
+            pl.BlockSpec(
+                (1, h_block, chunk, dh), lambda i, c, s: (s[0], i, c, 0)
+            ),
+            pl.BlockSpec(
+                (1, h_block, chunk, dh), lambda i, c, s: (s[0], i, c, 0)
+            ),
         ],
         out_specs=pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, 128), jnp.float32),
-            pltpu.VMEM((1, 128), jnp.float32),
-            pltpu.VMEM((1, dh), jnp.float32),
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, dh), jnp.float32),
         ],
     )
     return pl.pallas_call(
