@@ -315,6 +315,25 @@ def random_params(
 # ---------------------------------------------------------------------------
 
 
+def init_cache_batched(cfg: ModelConfig, batch: int, dtype=None) -> Cache:
+    """Layer-major batched KV cache [L, B, H, n_ctx, Dh] for
+    :func:`forward_batched` — the layer axis leads so the scan-over-layers
+    path can slice per-layer planes without transposing (a [B, L, ...]
+    layout would copy the whole cache per step to feed the scan)."""
+    if dtype is None:
+        if cfg.kv_cache_dtype == "int8":
+            dtype = jnp.int8
+        else:
+            dtype = jnp.dtype(cfg.kv_cache_dtype)
+    shape = (cfg.n_layer, batch, cfg.n_head, cfg.n_ctx, cfg.head_dim)
+    cache = {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+    if dtype == jnp.int8:
+        sshape = shape[:-1] + (1,)
+        cache["k_scale"] = jnp.zeros(sshape, dtype=jnp.float32)
+        cache["v_scale"] = jnp.zeros(sshape, dtype=jnp.float32)
+    return cache
+
+
 def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cache:
     """Dense per-sequence KV cache [L, H, n_ctx, Dh], head-major so each
     head's history is contiguous (k stored post-rope).
@@ -567,6 +586,203 @@ def forward(
     logits = lin(x, params["output"]).astype(jnp.float32)
     logits = logits[:, : cfg.n_vocab]  # drop shard-padding rows of `output`
     return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Batched decode (continuous batching: one weight stream for all slots)
+# ---------------------------------------------------------------------------
+
+
+def _attention_batched(q, keys, values, n_pasts, compute_dtype):
+    """Decode-step attention for B independent slots.
+
+    q: [B, H, Dh] (one new token per slot); keys/values: [B, H, n_ctx, Dh];
+    n_pasts: [B].  Slot b's query sits at position n_pasts[b], so allowed
+    keys are j <= n_pasts[b] — the batched form of ``ggml_diag_mask_inf``.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / np.sqrt(float(d))
+    scores = jnp.einsum(
+        "bhd,bhjd->bhj", q.astype(jnp.float32), keys.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    n_ctx = keys.shape[2]
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_ctx), 2)
+    allowed = j_idx <= n_pasts[:, None, None]
+    scores = jnp.where(allowed, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    ctx = jnp.einsum(
+        "bhj,bhjd->bhd", p, values.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return ctx.astype(compute_dtype)
+
+
+def forward_batched(
+    params: Params,
+    tokens: jnp.ndarray,  # [B] int32, one pending token per slot
+    n_pasts: jnp.ndarray,  # [B] int32 per-slot positions
+    cache: Cache,  # layer-major leaves [L, B, H, n_ctx, Dh]
+    cfg: ModelConfig,
+) -> tuple[jnp.ndarray, Cache]:
+    """One decode step for B slots sharing the weights.
+
+    Unlike ``vmap(forward)`` — which would re-stream the packed weights once
+    PER SLOT — every matmul here sees all B activation rows at once, so the
+    weight bytes cross HBM exactly once per step regardless of occupancy
+    (decode stays weight-bandwidth-bound; the reference has no batching at
+    all, SURVEY.md §2.6 DP row).
+
+    Returns (logits [B, n_vocab] f32, updated cache).
+    """
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    B = tokens.shape[0]
+    lin = functools.partial(
+        qmm.linear,
+        quantize_activations=cfg.quantize_activations,
+        compute_dtype=compute_dtype,
+    )
+    x = qmm.embedding_lookup(
+        tokens, params["tok_embeddings"], compute_dtype=compute_dtype
+    )[:, : cfg.n_embd]
+
+    def write_plane(buf, val):
+        """buf [B, H, n_ctx, Dh], val [B, H, Dh] at per-slot n_past."""
+        vt = val[:, :, None, :].astype(buf.dtype)  # [B, H, 1, Dh]
+        return jax.vmap(
+            lambda b, v, np_: jax.lax.dynamic_update_slice(b, v, (0, np_, 0))
+        )(buf, vt, n_pasts)
+
+    def cache_write_b(cl, name, val):
+        cl = dict(cl)
+        if name + "_scale" in cl:
+            amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [B, H, 1]
+            scale = amax / 127.0
+            inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+            q = jnp.clip(jnp.round(val * inv), -127, 127)
+            cl[name] = write_plane(cl[name], q)
+            cl[name + "_scale"] = jax.vmap(
+                lambda b, v, np_: jax.lax.dynamic_update_slice(b, v, (0, np_, 0))
+            )(cl[name + "_scale"], scale[:, :, None, :], n_pasts)
+            return cl
+        cl[name] = write_plane(cl[name], val)
+        return cl
+
+    def cache_read_b(cl, name):
+        if name + "_scale" in cl:
+            return cl[name].astype(jnp.float32) * cl[name + "_scale"]
+        return cl[name]
+
+    def cache_write_full_b(c, name, val, il):
+        """In-place write into the FULL layer-major cache [L, B, H, ctx, Dh]
+        at (il, b, :, n_pasts[b], :) — vmapped dynamic_update_slice over the
+        slot axis, no per-layer plane copies (unrolled path)."""
+        c = dict(c)
+
+        def upd(slot_buf, v, np_):  # slot_buf [L, H, ctx, Dh], v [H, 1, Dh]
+            return jax.lax.dynamic_update_slice(
+                slot_buf, v[None].astype(slot_buf.dtype), (il, 0, np_, 0)
+            )
+
+        if name + "_scale" in c:
+            amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [B, H, 1]
+            scale = amax / 127.0
+            inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+            q = jnp.clip(jnp.round(val * inv), -127, 127)
+            c[name] = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
+                c[name], q[:, :, None, :], n_pasts
+            )
+            c[name + "_scale"] = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
+                c[name + "_scale"], scale[:, :, None, :], n_pasts
+            )
+            return c
+        c[name] = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
+            c[name], val[:, :, None, :], n_pasts
+        )
+        return c
+
+    def cache_read_full_b(c, name, il):
+        if name + "_scale" in c:
+            return c[name][il].astype(jnp.float32) * c[name + "_scale"][il]
+        return c[name][il]
+
+    def layer_fn(x, layer, cl, il=None):
+        """x [B, D].  ``il is None`` (scan path): ``cl`` is this layer's
+        cache planes [B, H, n_ctx, Dh].  Otherwise (unrolled): ``cl`` is the
+        FULL layer-major cache, updated in place at layer ``il``."""
+        D = cfg.n_embd
+        h = norm(x, layer["attention_norm"], cfg.norm_type, cfg.norm_eps)
+        if "wqkv" in layer:
+            qkv = lin(h, layer["wqkv"])
+            q = qkv[:, 0 * D : 1 * D].reshape(B, cfg.n_head, cfg.head_dim)
+            k = qkv[:, 1 * D : 2 * D].reshape(B, cfg.n_head, cfg.head_dim)
+            v = qkv[:, 2 * D : 3 * D].reshape(B, cfg.n_head, cfg.head_dim)
+        else:
+            q = lin(h, layer["wq"]).reshape(B, cfg.n_head, cfg.head_dim)
+            k = lin(h, layer["wk"]).reshape(B, cfg.n_head, cfg.head_dim)
+            v = lin(h, layer["wv"]).reshape(B, cfg.n_head, cfg.head_dim)
+        # rope treats the slot axis as the position axis: slot b rotates at
+        # its own n_pasts[b]
+        q = rope(q, n_pasts, cfg.head_dim)
+        k = rope(k, n_pasts, cfg.head_dim)
+        if il is None:
+            cl = cache_write_b(cl, "k", k)
+            cl = cache_write_b(cl, "v", v)
+            keys, values = cache_read_b(cl, "k"), cache_read_b(cl, "v")
+        else:
+            cl = cache_write_full_b(cl, "k", k, il)
+            cl = cache_write_full_b(cl, "v", v, il)
+            keys = cache_read_full_b(cl, "k", il)
+            values = cache_read_full_b(cl, "v", il)
+        ctx = _attention_batched(q, keys, values, n_pasts, compute_dtype)
+        x = x + lin(ctx.reshape(B, cfg.n_embd), layer["wo"])
+        h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
+        if "w13" in layer:
+            g13 = lin(h, layer["w13"])
+            half = g13.shape[1] // 2
+            g1, g3 = g13[:, :half], g13[:, half:]
+        else:
+            g1 = lin(h, layer["w1"])
+            g3 = lin(h, layer["w3"])
+        gate = jax.nn.silu(g1.astype(jnp.float32)).astype(compute_dtype)
+        x = x + lin(gate * g3, layer["w2"])
+        return x, cl
+
+    if "layers_stacked" in params:
+        from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
+        from ..ops.q4_vpu_pallas import Q4_0TensorV, StackedQ4VRef
+
+        stacked = params["layers_stacked"]
+        q4_keys = [
+            k for k, v in stacked.items()
+            if isinstance(v, (Q4_0TensorT, Q4_0TensorV))
+        ]
+        xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
+        il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+
+        def scan_body(x, xs):
+            il, layer_small, cl = xs
+            layer = dict(layer_small)
+            for k in q4_keys:
+                ref = (
+                    StackedQ4VRef
+                    if isinstance(stacked[k], Q4_0TensorV)
+                    else StackedQ4Ref
+                )
+                layer[k] = ref(stacked[k], il)
+            return layer_fn(x, layer, cl)
+
+        x, new_cache = jax.lax.scan(scan_body, x, (il_seq, xs_small, cache))
+    else:
+        new_cache = cache
+        for il in range(cfg.n_layer):
+            x, new_cache = layer_fn(x, params["layers"][il], new_cache, il=il)
+
+    x = norm(x, params["norm"], cfg.norm_type, cfg.norm_eps)
+    logits = lin(x, params["output"]).astype(jnp.float32)
+    return logits[:, : cfg.n_vocab], new_cache
 
 
 # ---------------------------------------------------------------------------

@@ -422,15 +422,19 @@ def q4_0_int_matmul_pallas(
 
 
 def _q4_0_phase_kernel(xr_ref, qs4_ref, scales_ref, out_ref):
+    _phase_core(xr_ref, qs4_ref[0], scales_ref[0], out_ref)
+
+
+def _phase_core(xr_ref, xl, scales, out_ref):
     """One (out, k) step: extract all 8 nibble phases with magic bitcasts,
-    scale, concatenate along the contraction axis, ONE MXU dot.
+    scale, accumulate one MXU dot per phase.
 
     xr: f32 [N, 8, KT4] activations reordered phase-major (element 8j+p at
-    [:, p, j]); qs4: i32 [1, KT4, TO]; scales: f32 [1, NBT, TO];
+    [:, p, j]); xl: i32 [KT4, TO]; scales: f32 [NBT, TO];
     out: f32 [N, TO], accumulated over k.
     """
-    kt4, to = qs4_ref.shape[1], qs4_ref.shape[2]
-    nbt = scales_ref.shape[1]
+    kt4, to = xl.shape
+    nbt = scales.shape[0]
     n = out_ref.shape[0]
 
     @pl.when(pl.program_id(1) == 0)
@@ -439,11 +443,10 @@ def _q4_0_phase_kernel(xr_ref, qs4_ref, scales_ref, out_ref):
 
     # per-row scales: u32 row j holds elements 8j..8j+7, all in block j//4
     s4 = jnp.broadcast_to(
-        scales_ref[0].reshape(nbt, 1, to), (nbt, 4, to)
+        scales.reshape(nbt, 1, to), (nbt, 4, to)
     ).reshape(kt4, to)
     s4c = [s4 * c for c in _PHASE_SCALE]
 
-    xl = qs4_ref[0]
     xh = jax.lax.shift_right_logical(xl, 16)
     acc = None
     for p in range(PHASES):
@@ -495,6 +498,65 @@ def _q4_0_phase_matmul_call(x2, qs4, scales_t, *, interpret=False):
             transcendentals=0,
         ),
     )(xr, qs4, scales_t)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_phase_matmul_call_stacked(
+    layer_idx, x2, qs4_stacked, scales_stacked, *, interpret=False
+):
+    """Stacked-layer phase-dequant matmul: weights [L, ot, kh4, lt] stay in
+    HBM, the layer picked via scalar prefetch (the batched-decode analogue of
+    ``_q4_0_magic_matmul_call_stacked``)."""
+    n, in_dim = x2.shape
+    L, ot, kh4, lt = qs4_stacked.shape
+    out_dim = ot * lt
+    kt4 = _pick_kt4(kh4)
+    assert kt4, kh4
+    nbt = kt4 // 4
+    xr = x2.reshape(n, kh4, PHASES).transpose(0, 2, 1)  # [N, 8, kh4]
+
+    def kernel(il_ref, xr_ref, qs4_ref, scales_ref, out_ref):
+        del il_ref  # consumed by the BlockSpec index maps
+        _phase_core(xr_ref, qs4_ref[0, 0], scales_ref[0, 0], out_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ot, kh4 // kt4),
+        in_specs=[
+            pl.BlockSpec((n, PHASES, kt4), lambda j, k, il: (0, 0, k)),
+            pl.BlockSpec((1, 1, kt4, lt), lambda j, k, il: (il[0], j, k, 0)),
+            pl.BlockSpec((1, 1, nbt, lt), lambda j, k, il: (il[0], j, k, 0)),
+        ],
+        out_specs=pl.BlockSpec((n, lt), lambda j, k, il: (0, j)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, out_dim), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([layer_idx], jnp.int32), xr, qs4_stacked, scales_stacked)
+
+
+def q4_0_matmul_pallas_stacked(
+    x: jnp.ndarray, w_stacked: "Q4_0TensorT", layer_idx, *,
+    compute_dtype=jnp.float32, interpret=False,
+) -> jnp.ndarray:
+    """Layer-indexed phase-dequant matmul against stacked Q4 weights.
+    The caller handles activation fake-quant (as :func:`q4_0_matmul_pallas`)."""
+    qs4 = jnp.asarray(w_stacked.qs4)
+    scales = jnp.asarray(w_stacked.scales_t)
+    L, ot, kh4, lt = qs4.shape
+    out_dim = ot * lt
+    lead = x.shape[:-1]
+    n_rows = int(np.prod(lead)) if lead else 1
+    x2 = _pad_x_to(x.reshape(n_rows, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+    n_pad = max(8, (n_rows + 7) // 8 * 8)
+    if n_pad != n_rows:
+        x2 = jnp.pad(x2, ((0, n_pad - n_rows), (0, 0)))
+    y = _q4_0_phase_matmul_call_stacked(
+        layer_idx, x2, qs4, scales, interpret=interpret
+    )
+    return y[:n_rows].reshape(*lead, out_dim).astype(compute_dtype)
 
 
 #: rows above which the jnp dense-dequant path wins (x must stay VMEM

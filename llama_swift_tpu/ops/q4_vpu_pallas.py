@@ -185,6 +185,89 @@ def _q4_0_vpu_kernel_stacked(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_r
 
 
 # ---------------------------------------------------------------------------
+# manually pipelined kernels (the compiled TPU path)
+# ---------------------------------------------------------------------------
+
+#: DMA buffer count for the kernel-managed pipeline.  Measured (v5e, w13
+#: shape): the AUTO-pipelined grid kernel serializes the VPU phase MACs after
+#: each block's DMA (t_step ≈ t_DMA + t_compute → ~525 GB/s); with a manual
+#: 3-deep buffer ring the same math streams at ~97% of the pure-read probe
+#: (762 vs 782 GB/s).  2 buffers are not enough to absorb the compute jitter.
+NBUF = 3
+
+
+def _manual_stream_loop(
+    idx, steps, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem
+):
+    """Shared ring-buffered stream loop: for j in [0, steps): DMA the j-th
+    weight tile (index ``idx(j)`` into the HBM refs) into slot j%NBUF,
+    overlap with the phase-MAC compute of tile j-(NBUF-1), write y tile j.
+    """
+
+    def qdma(slot, j):
+        return pltpu.make_async_copy(
+            qs4_hbm.at[idx(j)], qbuf.at[slot], qsem.at[slot]
+        )
+
+    def sdma(slot, j):
+        return pltpu.make_async_copy(
+            sc_hbm.at[idx(j)], sbuf.at[slot], ssem.at[slot]
+        )
+
+    for j in range(NBUF - 1):  # warm-up: fill all but one slot
+
+        @pl.when(j < steps)
+        def _(j=j):
+            qdma(j % NBUF, j).start()
+            sdma(j % NBUF, j).start()
+
+    def body(j, _):
+        slot = j % NBUF
+        pre = j + NBUF - 1
+
+        @pl.when(pre < steps)
+        def _():
+            qdma(pre % NBUF, pre).start()
+            sdma(pre % NBUF, pre).start()
+
+        qdma(slot, j).wait()
+        sdma(slot, j).wait()
+        y = _vpu_core(qbuf[slot], xr_ref, aux_ref, sbuf[slot])
+        out_ref[j] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
+        return ()
+
+    jax.lax.fori_loop(0, steps, body, (), unroll=False)
+
+
+def _q4_0_vpu_kernel_manual(
+    xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem
+):
+    _manual_stream_loop(
+        lambda j: (j,), qs4_hbm.shape[0], xr_ref, aux_ref, qs4_hbm, sc_hbm,
+        out_ref, qbuf, sbuf, qsem, ssem,
+    )
+
+
+def _q4_0_vpu_kernel_manual_stacked(
+    il_ref, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem
+):
+    il = il_ref[0]
+    _manual_stream_loop(
+        lambda j: (il, j), qs4_hbm.shape[1], xr_ref, aux_ref, qs4_hbm, sc_hbm,
+        out_ref, qbuf, sbuf, qsem, ssem,
+    )
+
+
+def _manual_scratch(lt, kh4, nb):
+    return [
+        pltpu.VMEM((NBUF, lt, kh4), jnp.int32),
+        pltpu.VMEM((NBUF, lt, nb), jnp.float32),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -214,20 +297,36 @@ def _prep_inputs(x2: jnp.ndarray, kh4: int, quantize_acts: bool):
 def _q4_0_vpu_call(xr, aux, qs4v, scales_v, *, interpret=False):
     ot, lt, kh4 = qs4v.shape
     nb = scales_v.shape[2]
+    if interpret:
+        # interpreter path (CPU tests): the auto-pipelined grid kernel shares
+        # _vpu_core with the manual kernel, so the math under test is the same
+        out = pl.pallas_call(
+            _q4_0_vpu_kernel,
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((PHASES, kh4), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, nb), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lt, kh4), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lt, nb), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, lt, OUT_LANES), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+            interpret=True,
+        )(xr, aux, qs4v, scales_v)
+        return out[:, :, 0].reshape(ot * lt)
     out = pl.pallas_call(
-        _q4_0_vpu_kernel,
-        grid=(ot,),
+        _q4_0_vpu_kernel_manual,
         in_specs=[
-            pl.BlockSpec((PHASES, kh4), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, nb), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lt, kh4), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lt, nb), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, lt, OUT_LANES), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
-        interpret=interpret,
+        scratch_shapes=_manual_scratch(lt, kh4, nb),
         cost_estimate=pl.CostEstimate(
             flops=2 * ot * lt * kh4 * PHASES,
             bytes_accessed=ot * lt * (kh4 + nb) * 4,
@@ -239,28 +338,43 @@ def _q4_0_vpu_call(xr, aux, qs4v, scales_v, *, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _q4_0_vpu_call_stacked(layer_idx, xr, aux, qs4v, scales_v, *, interpret=False):
-    """Stacked-layer variant: weights [L, ot, 128, ·] stay in HBM, the layer
-    is chosen via scalar prefetch (same trick as the T-layout kernels — a
-    lax.scan slicing the stack into a pallas operand would copy weight-sized
-    buffers per layer)."""
+    """Stacked-layer variant: weights [L, ot, 128, ·] stay in HBM and the
+    layer is chosen by indexing the HBM ref with an SMEM scalar — a lax.scan
+    slicing the stack into a pallas operand would copy weight-sized buffers
+    per layer."""
     L, ot, lt, kh4 = qs4v.shape
     nb = scales_v.shape[3]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ot,),
-        in_specs=[
-            pl.BlockSpec((PHASES, kh4), lambda j, il: (0, 0)),
-            pl.BlockSpec((2, nb), lambda j, il: (0, 0)),
-            pl.BlockSpec((1, 1, lt, kh4), lambda j, il: (il[0], j, 0, 0)),
-            pl.BlockSpec((1, 1, lt, nb), lambda j, il: (il[0], j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, lt, OUT_LANES), lambda j, il: (j, 0, 0)),
-    )
+    if interpret:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((PHASES, kh4), lambda j, il: (0, 0)),
+                pl.BlockSpec((2, nb), lambda j, il: (0, 0)),
+                pl.BlockSpec((1, 1, lt, kh4), lambda j, il: (il[0], j, 0, 0)),
+                pl.BlockSpec((1, 1, lt, nb), lambda j, il: (il[0], j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, lt, OUT_LANES), lambda j, il: (j, 0, 0)),
+        )
+        out = pl.pallas_call(
+            _q4_0_vpu_kernel_stacked,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+            interpret=True,
+        )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, scales_v)
+        return out[:, :, 0].reshape(ot * lt)
     out = pl.pallas_call(
-        _q4_0_vpu_kernel_stacked,
-        grid_spec=grid_spec,
+        _q4_0_vpu_kernel_manual_stacked,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
-        interpret=interpret,
+        scratch_shapes=_manual_scratch(lt, kh4, nb),
     )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, scales_v)
     return out[:, :, 0].reshape(ot * lt)
 

@@ -118,6 +118,7 @@ def linear(
     """
     from .q4_matmul_pallas import (
         MAX_INT_KERNEL_ROWS,
+        MAX_PHASE_KERNEL_ROWS,
         Q4_0TensorT,
         StackedQ4Ref,
         _pick_kt4,
@@ -125,6 +126,7 @@ def linear(
         q4_0_int_matmul_pallas,
         q4_0_int_matmul_pallas_stacked,
         q4_0_matmul_pallas,
+        q4_0_matmul_pallas_stacked,
     )
     from .q4_vpu_pallas import (
         Q4_0TensorV,
@@ -184,6 +186,14 @@ def linear(
             return q4_0_int_matmul_pallas_stacked(
                 x, w.w, w.layer_idx, compute_dtype=compute_dtype
             )
+        if use_pallas and n_rows <= MAX_PHASE_KERNEL_ROWS and _pick_kt4(kh4):
+            # batched decode (continuous batching): stream packed weights
+            # once for all rows through the stacked phase-dequant kernel
+            if quantize_activations:
+                x = fake_quantize_q4_0(x)
+            return q4_0_matmul_pallas_stacked(
+                x, w.w, w.layer_idx, compute_dtype=compute_dtype
+            )
         return linear(
             x, w.at_layer(), quantize_activations=quantize_activations,
             compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
@@ -201,6 +211,12 @@ def linear(
         ):
             # integer decode kernel: exact int4×int4 reference semantics
             return q4_0_int_matmul_pallas(x, w, compute_dtype=compute_dtype)
+        if use_pallas and n_rows <= MAX_PHASE_KERNEL_ROWS and _pick_kt4(kh4):
+            # small-batch rows: fused phase-dequant kernel (streams packed
+            # weights once; no dense weight materialization in HBM)
+            if quantize_activations:
+                x = fake_quantize_q4_0(x)
+            return q4_0_matmul_pallas(x, w, compute_dtype=compute_dtype)
         if quantize_activations:
             x = fake_quantize_q4_0(x)
         from .q4_matmul_pallas import _pad_x_to

@@ -40,14 +40,13 @@ from .sampler import SamplerState
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def batched_decode(params, tokens, n_pasts, cache, cfg: ModelConfig):
-    """One decode step for every slot: tokens [B], n_pasts [B],
-    cache leaves [B, ...] -> (logits [B, n_vocab], cache)."""
+    """One decode step for every slot: tokens [B], n_pasts [B], cache
+    layer-major leaves [L, B, ...] -> (logits [B, n_vocab], cache).
 
-    def one(token, n_past, c):
-        logits, c = model_lib.forward(params, token[None], n_past, c, cfg)
-        return logits[0], c
-
-    return jax.vmap(one)(tokens, n_pasts, cache)
+    Uses :func:`model_lib.forward_batched`: every matmul sees all B slot
+    rows at once, so the packed weights cross HBM exactly once per step
+    (``vmap(forward)`` would re-stream them per slot)."""
+    return model_lib.forward_batched(params, tokens, n_pasts, cache, cfg)
 
 
 @functools.partial(
@@ -56,12 +55,13 @@ def batched_decode(params, tokens, n_pasts, cache, cfg: ModelConfig):
 def slot_prefill(params, tokens, length, slot, cache, cfg: ModelConfig):
     """Prefill a (padded) prompt into one slot's cache plane.
 
-    tokens [P] padded; returns (last-valid-token logits [n_vocab], cache).
+    tokens [P] padded; cache leaves are layer-major [L, B, ...]; returns
+    (last-valid-token logits [n_vocab], cache).
     """
-    sub = {k: v[slot] for k, v in cache.items()}
+    sub = {k: v[:, slot] for k, v in cache.items()}
     logits, sub = model_lib.forward(params, tokens, jnp.int32(0), sub, cfg)
     cache = {
-        k: jax.lax.dynamic_update_index_in_dim(cache[k], sub[k], slot, 0)
+        k: jax.lax.dynamic_update_index_in_dim(cache[k], sub[k], slot, 1)
         for k in cache
     }
     return logits[length - 1], cache
@@ -135,7 +135,7 @@ class Engine:
         self.vocab = vocab
         self.max_slots = max_slots
         self.prefill_bucket = prefill_bucket
-        self.cache = model_lib.init_cache(cfg, dtype=cache_dtype, batch=max_slots)
+        self.cache = model_lib.init_cache_batched(cfg, max_slots, dtype=cache_dtype)
         self.slots = [_Slot() for _ in range(max_slots)]
         self._pending: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
@@ -247,7 +247,25 @@ class Engine:
 
     def _loop(self):
         while not self._stop.is_set():
-            if self.step() == 0 and self._pending.empty():
+            try:
+                stepped = self.step()
+            except BaseException as e:  # noqa: BLE001 — failure detection:
+                # a crashed step must finish every live handle with the error
+                # (never hang clients), mirroring the reference's failed-event
+                # path (LlamaPredictOperation.mm:791-793)
+                with self._lock:
+                    for slot in self.slots:
+                        if slot.active and slot.handle is not None:
+                            slot.handle._finish(e)
+                            slot.active = False
+                    while True:
+                        try:
+                            req = self._pending.get_nowait()
+                        except queue.Empty:
+                            break
+                        req.handle._finish(e)
+                continue
+            if stepped == 0 and self._pending.empty():
                 time.sleep(0.001)
 
     def start(self) -> "Engine":

@@ -21,7 +21,7 @@ def setup(tiny_cfg, tiny_tensors, tiny_vocab_pieces):
 def test_batched_decode_matches_single(setup):
     cfg, params, _ = setup
     B = 4
-    cache_b = model_lib.init_cache(cfg, batch=B)
+    cache_b = model_lib.init_cache_batched(cfg, B)
     tokens = np.array([3, 9, 17, 40], dtype=np.int32)
     n_pasts = np.zeros(B, dtype=np.int32)
     logits_b, _ = batched_decode(
@@ -40,7 +40,7 @@ def test_batched_decode_matches_single(setup):
 def test_slot_prefill_matches_single(setup):
     cfg, params, _ = setup
     B = 3
-    cache_b = model_lib.init_cache(cfg, batch=B)
+    cache_b = model_lib.init_cache_batched(cfg, B)
     tokens = [1, 5, 9, 2]
     padded, length = model_lib.pad_tokens(tokens, 8)
     logits_slot, cache_b = slot_prefill(
@@ -54,12 +54,13 @@ def test_slot_prefill_matches_single(setup):
         np.asarray(logits_slot), np.asarray(logits_all[length - 1]),
         rtol=2e-5, atol=2e-5,
     )
-    # slot 1 cache plane must equal the single-seq cache; other slots untouched
+    # slot 1 cache plane must equal the single-seq cache; other slots
+    # untouched (cache is layer-major [L, B, H, ctx, Dh])
     np.testing.assert_allclose(
-        np.asarray(cache_b["k"])[1, :, :length],
-        np.asarray(cache1["k"])[:, :length], rtol=2e-5, atol=2e-5,
+        np.asarray(cache_b["k"])[:, 1, :, :length],
+        np.asarray(cache1["k"])[:, :, :length], rtol=2e-5, atol=2e-5,
     )
-    assert np.all(np.asarray(cache_b["k"])[0] == 0)
+    assert np.all(np.asarray(cache_b["k"])[:, 0] == 0)
 
 
 def test_engine_single_stream_matches_runner_tokens(setup):
