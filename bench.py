@@ -127,8 +127,10 @@ def main():
                     help=">1: batched greedy decode (continuous-batching "
                          "inner loop); reports aggregate tok/s")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
-    ap.add_argument("--flash", action="store_true",
-                    help="use the flash-decode attention kernel")
+    ap.add_argument("--flash", action="store_true", default=True,
+                    help="use the flash-decode attention kernel (default)")
+    ap.add_argument("--no-flash", dest="flash", action="store_false",
+                    help="XLA attention instead of the flash-decode kernel")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable QKV/W13 out-dim fusion")
     ap.add_argument("--kv-dtype", default="bfloat16",
@@ -136,7 +138,12 @@ def main():
                     help="KV cache dtype (bfloat16 halves decode KV traffic)")
     ap.add_argument("--scan-layers", action="store_true",
                     help="scan-over-layers forward (small compile, slower "
-                         "decode); default is unrolled layers")
+                         "decode); default is an unrolled loop over the same "
+                         "stacked weights")
+    ap.add_argument("--no-stack", action="store_true",
+                    help="store weights as per-layer arrays instead of "
+                         "stacked [L, ...] buffers (exposes them to XLA "
+                         "VMEM promotion; for comparison)")
     ap.add_argument("--weights", default="q4-packed",
                     choices=["dense-bf16", "q4-packed", "q4-packed-t"],
                     help="q4-packed: 5-bit streaming via the VPU matvec "
@@ -163,19 +170,21 @@ def main():
         fuse_layer_matmuls=not args.no_fuse,
         kv_cache_dtype=args.kv_dtype,
         use_flash_decode=args.flash,
+        scan_layers=args.scan_layers,
         **sizes[args.size],
     )
 
+    stack = not args.no_stack
     if args.weights == "dense-bf16":
         tensors, weight_bytes = build_synthetic_dense_params(cfg)
         params = model_lib.params_from_tensors(
-            tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=args.scan_layers
+            tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=stack
         )
     else:
         layout = "t" if args.weights == "q4-packed-t" else "v"
         tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
         params = model_lib.params_from_tensors(
-            tensors, cfg, param_dtype=jnp.float32, stack_layers=args.scan_layers
+            tensors, cfg, param_dtype=jnp.float32, stack_layers=stack
         )
 
     import functools

@@ -92,6 +92,17 @@ class ModelConfig:
     #: (no per-layer plane copies).  Interpreted (slow, exact) on non-TPU
     #: backends.
     use_flash_decode: bool = True
+    #: run the layer loop as one traced ``lax.scan`` step (small compiled
+    #: program; compile time ∝ 1 layer) vs an unrolled python loop over the
+    #: SAME stacked weights (n_layer copies of the layer graph).  Unrolled
+    #: decodes measurably faster: scan carries the per-layer KV planes as
+    #: xs/ys (copy per layer per step), while the unrolled loop updates the
+    #: full stacked cache in place.  Keeping the weights stacked in both
+    #: modes also pins them in HBM: XLA's memory-space assignment promotes
+    #: per-layer-sized weight operands into VMEM ahead of each kernel
+    #: (observed as async slice/copy chains into S(1)), throttling the
+    #: manual DMA stream — a [L, ...] stack is too large to promote.
+    scan_layers: bool = True
 
     @property
     def n_ff(self) -> int:

@@ -546,11 +546,10 @@ def forward(
         return x, cl
 
     if "layers_stacked" in params:
-        # one traced layer, scanned over stacked weights + per-layer cache
-        # planes (compile time ∝ 1 layer, not n_layer).  Q4 weight stacks
-        # stay OUT of the scan xs: a scan slice feeding a pallas operand
-        # materializes a per-layer weight copy; instead the kernel indexes
-        # the stacked HBM buffer via scalar prefetch (StackedQ4Ref).
+        # Q4 weight stacks stay as whole [L, ...] HBM buffers in BOTH modes:
+        # a scan slice (or XLA memory-space assignment on per-layer arrays)
+        # would materialize weight-sized copies; instead the kernels index
+        # the stacked buffer directly (StackedQ4Ref / StackedQ4VRef).
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
         from ..ops.q4_vpu_pallas import Q4_0TensorV, StackedQ4VRef
 
@@ -560,23 +559,47 @@ def forward(
             for k, v in stacked.items()
             if isinstance(v, (Q4_0TensorT, Q4_0TensorV))
         ]
-        xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
-        il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
 
-        def scan_body(x, xs):
-            il, layer_small, cl = xs
-            layer = dict(layer_small)
-            for k in q4_keys:
-                ref = (
-                    StackedQ4VRef
-                    if isinstance(stacked[k], Q4_0TensorV)
-                    else StackedQ4Ref
-                )
-                layer[k] = ref(stacked[k], il)
-            x, cl = layer_fn(x, layer, cl)
-            return x, cl
+        def layer_at(il):
+            layer = {}
+            for k, v in stacked.items():
+                if k in q4_keys:
+                    ref = (
+                        StackedQ4VRef
+                        if isinstance(v, Q4_0TensorV)
+                        else StackedQ4Ref
+                    )
+                    layer[k] = ref(v, il)
+                else:
+                    layer[k] = v[il]
+            return layer
 
-        x, new_cache = jax.lax.scan(scan_body, x, (il_seq, xs_small, cache))
+        if cfg.scan_layers:
+            # one traced layer, scanned over per-layer cache planes
+            # (compile time ∝ 1 layer, not n_layer)
+            xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
+            il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+
+            def scan_body(x, xs):
+                il, layer_small, cl = xs
+                layer = dict(layer_small)
+                for k in q4_keys:
+                    ref = (
+                        StackedQ4VRef
+                        if isinstance(stacked[k], Q4_0TensorV)
+                        else StackedQ4Ref
+                    )
+                    layer[k] = ref(stacked[k], il)
+                x, cl = layer_fn(x, layer, cl)
+                return x, cl
+
+            x, new_cache = jax.lax.scan(scan_body, x, (il_seq, xs_small, cache))
+        else:
+            # unrolled python loop over the SAME stacked weights: in-place
+            # full-cache updates, no scan xs/ys plane copies (decode default)
+            new_cache = cache
+            for il in range(cfg.n_layer):
+                x, new_cache = layer_fn(x, layer_at(il), new_cache, il=il)
     else:
         new_cache = cache
         for il in range(cfg.n_layer):

@@ -193,7 +193,7 @@ def _q4_0_vpu_kernel_stacked(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_r
 #: each block's DMA (t_step ≈ t_DMA + t_compute → ~525 GB/s); with a manual
 #: 3-deep buffer ring the same math streams at ~97% of the pure-read probe
 #: (762 vs 782 GB/s).  2 buffers are not enough to absorb the compute jitter.
-NBUF = 3
+NBUF = 6
 
 
 def _manual_stream_loop(
@@ -321,8 +321,8 @@ def _q4_0_vpu_call(xr, aux, qs4v, scales_v, *, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
@@ -369,8 +369,8 @@ def _q4_0_vpu_call_stacked(layer_idx, xr, aux, qs4v, scales_v, *, interpret=Fals
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
