@@ -400,12 +400,20 @@ def forward(
     n_past: jnp.ndarray,  # scalar int32: tokens already in the cache
     cache: Cache,
     cfg: ModelConfig,
+    slot=None,  # optional [] int32: cache leaves are BATCHED [L, B, ...]
 ) -> tuple[jnp.ndarray, Cache]:
     """One evaluation over N token slots starting at position ``n_past``.
 
     Returns (logits [N, n_vocab] f32, updated cache).  Pure & jittable; the
     caller slices the logits row it needs (the reference copies only the last
     row, ``LlamaPredictOperation.mm:724-725``; perplexity needs all rows).
+
+    ``slot``: when given, ``cache`` is the continuous-batching engine's
+    layer-major batched cache ([L, B, H, n_ctx, Dh] leaves) and this forward
+    reads/writes ONLY slot ``slot``'s planes, in place on the donated buffer
+    — the admission path of ``runtime/engine.py`` without ever unstacking or
+    re-scattering the other slots' cache (one dynamic_update_slice at
+    (il, slot, ·) per layer).
     """
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     N = tokens.shape[0]
@@ -452,8 +460,13 @@ def forward(
         (il, :, n_past, :) — one in-place dynamic_update_slice on the donated
         buffer.  (Slicing a layer plane out, updating it, and restacking —
         the old unrolled path — made XLA materialize a whole-plane copy per
-        layer per step: ~0.8 ms/token at 7B.)"""
+        layer per step: ~0.8 ms/token at 7B.)  With ``slot``, the cache is
+        batched and the write lands at (il, slot, :, n_past, :)."""
         vt = val.transpose(1, 0, 2)[None]  # [1, H, N, Dh]
+        idx = (il, 0, n_past, 0)
+        if slot is not None:
+            vt = vt[None]  # [1, 1, H, N, Dh]
+            idx = (il, slot, 0, n_past, 0)
         buf = c[name]
         c = dict(c)
         if name + "_scale" in c:
@@ -461,20 +474,19 @@ def forward(
             scale = amax / 127.0
             inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
             qv = jnp.clip(jnp.round(vt * inv), -127, 127).astype(jnp.int8)
-            c[name] = jax.lax.dynamic_update_slice(buf, qv, (il, 0, n_past, 0))
+            c[name] = jax.lax.dynamic_update_slice(buf, qv, idx)
             c[name + "_scale"] = jax.lax.dynamic_update_slice(
-                c[name + "_scale"], scale.astype(jnp.float32), (il, 0, n_past, 0)
+                c[name + "_scale"], scale.astype(jnp.float32), idx
             )
             return c
-        c[name] = jax.lax.dynamic_update_slice(
-            buf, vt.astype(buf.dtype), (il, 0, n_past, 0)
-        )
+        c[name] = jax.lax.dynamic_update_slice(buf, vt.astype(buf.dtype), idx)
         return c
 
     def cache_read_full(c: dict, name: str, il):
+        plane = (lambda a: a[il, slot]) if slot is not None else (lambda a: a[il])
         if name + "_scale" in c:
-            return c[name][il].astype(jnp.float32) * c[name + "_scale"][il]
-        return c[name][il]
+            return plane(c[name]).astype(jnp.float32) * plane(c[name + "_scale"])
+        return plane(c[name])
 
     def layer_fn(x, layer, cl, il=None):
         """One transformer layer.  ``il is None`` (scan path): ``cl`` is this
@@ -503,7 +515,7 @@ def forward(
         else:
             cl = cache_write_full(cl, "k", k, il)
             cl = cache_write_full(cl, "v", v, il)
-        if cfg.use_flash_decode and N == 1 and "k_scale" not in cl:
+        if cfg.use_flash_decode and N == 1 and slot is None and "k_scale" not in cl:
             from ..ops.attention import (
                 flash_decode_attention,
                 flash_decode_attention_stacked,
@@ -574,9 +586,10 @@ def forward(
                     layer[k] = v[il]
             return layer
 
-        if cfg.scan_layers:
+        if cfg.scan_layers and slot is None:
             # one traced layer, scanned over per-layer cache planes
-            # (compile time ∝ 1 layer, not n_layer)
+            # (compile time ∝ 1 layer, not n_layer); the slot path always
+            # unrolls — its in-place (il, slot) writes have no scan xs form
             xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
             il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
 
@@ -782,22 +795,44 @@ def forward_batched(
             k for k, v in stacked.items()
             if isinstance(v, (Q4_0TensorT, Q4_0TensorV))
         ]
-        xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
-        il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+        def layer_at(il):
+            layer = {}
+            for k, v in stacked.items():
+                if k in q4_keys:
+                    ref = (
+                        StackedQ4VRef
+                        if isinstance(v, Q4_0TensorV)
+                        else StackedQ4Ref
+                    )
+                    layer[k] = ref(v, il)
+                else:
+                    layer[k] = v[il]
+            return layer
 
-        def scan_body(x, xs):
-            il, layer_small, cl = xs
-            layer = dict(layer_small)
-            for k in q4_keys:
-                ref = (
-                    StackedQ4VRef
-                    if isinstance(stacked[k], Q4_0TensorV)
-                    else StackedQ4Ref
-                )
-                layer[k] = ref(stacked[k], il)
-            return layer_fn(x, layer, cl)
+        if cfg.scan_layers:
+            xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
+            il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
 
-        x, new_cache = jax.lax.scan(scan_body, x, (il_seq, xs_small, cache))
+            def scan_body(x, xs):
+                il, layer_small, cl = xs
+                layer = dict(layer_small)
+                for k in q4_keys:
+                    ref = (
+                        StackedQ4VRef
+                        if isinstance(stacked[k], Q4_0TensorV)
+                        else StackedQ4Ref
+                    )
+                    layer[k] = ref(stacked[k], il)
+                return layer_fn(x, layer, cl)
+
+            x, new_cache = jax.lax.scan(scan_body, x, (il_seq, xs_small, cache))
+        else:
+            # unrolled loop over the same stacked weights (mirrors forward():
+            # in-place full-cache updates, no scan xs/ys plane copies — the
+            # faster decode mode per the config.scan_layers docstring)
+            new_cache = cache
+            for il in range(cfg.n_layer):
+                x, new_cache = layer_fn(x, layer_at(il), new_cache, il=il)
     else:
         new_cache = cache
         for il in range(cfg.n_layer):

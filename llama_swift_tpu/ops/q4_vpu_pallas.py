@@ -190,9 +190,12 @@ def _q4_0_vpu_kernel_stacked(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_r
 
 #: DMA buffer count for the kernel-managed pipeline.  Measured (v5e, w13
 #: shape): the AUTO-pipelined grid kernel serializes the VPU phase MACs after
-#: each block's DMA (t_step ≈ t_DMA + t_compute → ~525 GB/s); with a manual
-#: 3-deep buffer ring the same math streams at ~97% of the pure-read probe
-#: (762 vs 782 GB/s).  2 buffers are not enough to absorb the compute jitter.
+#: each block's DMA (t_step ≈ t_DMA + t_compute → ~525 GB/s); a manual buffer
+#: ring decouples them.  Depth sweep on the same shape: 2 buffers leave the
+#: DMA engine idle whenever compute momentarily falls behind (~700 GB/s),
+#: 3 reach ~740, and 6 keep enough requests outstanding to absorb the
+#: per-tile compute jitter at ~97% of the pure-read probe (762 vs 782 GB/s);
+#: beyond 6 only VMEM cost grows.
 NBUF = 6
 
 

@@ -52,19 +52,17 @@ def batched_decode(params, tokens, n_pasts, cache, cfg: ModelConfig):
 @functools.partial(
     jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
 )
-def slot_prefill(params, tokens, length, slot, cache, cfg: ModelConfig):
-    """Prefill a (padded) prompt into one slot's cache plane.
+def slot_prefill_chunk(params, tokens, n_past, slot, cache, cfg: ModelConfig):
+    """Prefill ONE (padded) prompt chunk into one slot's cache planes.
 
-    tokens [P] padded; cache leaves are layer-major [L, B, ...]; returns
-    (last-valid-token logits [n_vocab], cache).
+    tokens [P] padded; cache leaves are layer-major batched [L, B, ...].
+    ``forward(slot=...)`` writes each layer's K/V straight into the donated
+    batched cache at (il, slot, :, n_past, :) — no per-leaf unstack/rescatter
+    (the old whole-cache materialization per admission), and chunking bounds
+    how long a single admission tick can stall active decode slots.
+    Returns (chunk logits [P, n_vocab], cache).
     """
-    sub = {k: v[:, slot] for k, v in cache.items()}
-    logits, sub = model_lib.forward(params, tokens, jnp.int32(0), sub, cfg)
-    cache = {
-        k: jax.lax.dynamic_update_index_in_dim(cache[k], sub[k], slot, 1)
-        for k in cache
-    }
-    return logits[length - 1], cache
+    return model_lib.forward(params, tokens, n_past, cache, cfg, slot=slot)
 
 
 @dataclasses.dataclass
@@ -77,7 +75,7 @@ class _Request:
 
 @dataclasses.dataclass
 class _Slot:
-    active: bool = False
+    active: bool = False  # decoding (prefill complete)
     n_past: int = 0
     remaining: int = 0
     last_token: int = 0
@@ -85,6 +83,16 @@ class _Slot:
     handle: Optional["StreamHandle"] = None
     reverse_ids: list = dataclasses.field(default_factory=list)
     generated: list = dataclasses.field(default_factory=list)
+    # admission state: prompt ids not yet prefilled (chunked, one
+    # prefill_bucket-sized chunk per engine step so active slots keep
+    # decoding while a long prompt admits)
+    prefill_ids: list = dataclasses.field(default_factory=list)
+    prefill_pos: int = 0
+    sampling: Optional[SamplingConfig] = None
+
+    @property
+    def prefilling(self) -> bool:
+        return self.handle is not None and not self.active
 
 
 class StreamHandle:
@@ -142,6 +150,9 @@ class Engine:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"decode_steps": 0, "tokens_generated": 0, "admitted": 0}
+        #: set to the fatal exception when a step crashed (engine is dead:
+        #: the donated cache may be invalid; submits are rejected)
+        self.dead: Optional[BaseException] = None
 
     # ------------------------------------------------------------------
 
@@ -154,6 +165,9 @@ class Engine:
     ) -> StreamHandle:
         sampling = sampling or SamplingConfig()
         handle = StreamHandle()
+        if self.dead is not None:
+            handle._finish(self.dead)
+            return handle
         prompt_ids = self.vocab.tokenize(prompt, bos=True)
         if len(prompt_ids) >= self.cfg.n_ctx:
             prompt_ids = prompt_ids[: self.cfg.n_ctx - 1]
@@ -166,35 +180,59 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _admit(self) -> None:
+        """Assign pending requests to free slots (cheap bookkeeping only —
+        the actual prefill happens one chunk per step in
+        :meth:`_prefill_tick`)."""
         for idx, slot in enumerate(self.slots):
-            if slot.active:
+            if slot.active or slot.prefilling:
                 continue
             try:
                 req = self._pending.get_nowait()
             except queue.Empty:
                 return
-            padded, length = model_lib.pad_tokens(req.prompt_ids, self.prefill_bucket)
-            logits, self.cache = slot_prefill(
-                self.params, jnp.asarray(padded), jnp.int32(length),
-                jnp.int32(idx), self.cache, self.cfg,
-            )
             sampler = SamplerState(req.sampling)
             for t in req.prompt_ids:
                 sampler.observe(t)
                 req.handle.token_ids.append(t)
                 req.handle._put(self.vocab.piece_str(t))  # prompt echo (.mm:892)
-            n_predict = min(req.sampling.n_predict, self.cfg.n_ctx - length)
-            first = sampler.sample(np.asarray(logits))
+            slot.handle = req.handle
+            slot.sampler = sampler
+            slot.sampling = req.sampling
+            slot.reverse_ids = req.reverse_ids
+            slot.prefill_ids = req.prompt_ids
+            slot.prefill_pos = 0
+            slot.generated = []
+            self.stats["admitted"] += 1
+
+    def _prefill_tick(self) -> None:
+        """Advance ONE prefilling slot by ONE prompt chunk (bounded budget:
+        active slots stall at most one prefill_bucket-sized forward per
+        step, instead of a whole long prompt)."""
+        for idx, slot in enumerate(self.slots):
+            if not slot.prefilling:
+                continue
+            length = len(slot.prefill_ids)
+            chunk = slot.prefill_ids[
+                slot.prefill_pos : slot.prefill_pos + self.prefill_bucket
+            ]
+            padded, clen = model_lib.pad_tokens(chunk, self.prefill_bucket)
+            logits, self.cache = slot_prefill_chunk(
+                self.params, jnp.asarray(padded), jnp.int32(slot.prefill_pos),
+                jnp.int32(idx), self.cache, self.cfg,
+            )
+            slot.prefill_pos += clen
+            if slot.prefill_pos < length:
+                return  # more chunks to go; decode continues meanwhile
+            # prompt fully prefilled: sample the first token, go active
+            first = slot.sampler.sample(np.asarray(logits[clen - 1]))
+            n_predict = min(slot.sampling.n_predict, self.cfg.n_ctx - length)
             slot.active = True
             slot.n_past = length
             slot.remaining = n_predict
             slot.last_token = first
-            slot.sampler = sampler
-            slot.handle = req.handle
-            slot.reverse_ids = req.reverse_ids
             slot.generated = [first]
-            self.stats["admitted"] += 1
             self._emit_or_retire(slot, first)
+            return
 
     def _emit_or_retire(self, slot: _Slot, token: int) -> None:
         """Emit a sampled token (or retire on reverse-prompt/budget)."""
@@ -217,9 +255,10 @@ class Engine:
     # ------------------------------------------------------------------
 
     def step(self) -> int:
-        """Admit pending requests, run one batched decode step.
-        Returns number of active slots stepped."""
+        """Admit pending requests, advance at most one prefill chunk, run
+        one batched decode step.  Returns number of active slots stepped."""
         self._admit()
+        self._prefill_tick()
         active = [i for i, s in enumerate(self.slots) if s.active]
         if not active:
             return 0
@@ -245,26 +284,40 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def _fail_all(self, e: BaseException) -> None:
+        """Failure detection: a crashed step must finish every live handle
+        with the error (never hang clients), mirroring the reference's
+        failed-event path (LlamaPredictOperation.mm:791-793)."""
+        with self._lock:
+            for slot in self.slots:
+                if slot.handle is not None:
+                    slot.handle._finish(e)
+                    slot.active = False
+                    slot.handle = None
+            while True:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                req.handle._finish(e)
+
     def _loop(self):
         while not self._stop.is_set():
             try:
                 stepped = self.step()
-            except BaseException as e:  # noqa: BLE001 — failure detection:
-                # a crashed step must finish every live handle with the error
-                # (never hang clients), mirroring the reference's failed-event
-                # path (LlamaPredictOperation.mm:791-793)
-                with self._lock:
-                    for slot in self.slots:
-                        if slot.active and slot.handle is not None:
-                            slot.handle._finish(e)
-                            slot.active = False
-                    while True:
-                        try:
-                            req = self._pending.get_nowait()
-                        except queue.Empty:
-                            break
-                        req.handle._finish(e)
-                continue
+            except BaseException as e:  # noqa: BLE001
+                # batched_decode donates the cache, so a failed dispatch may
+                # leave self.cache invalidated — the engine cannot safely
+                # continue.  Record the error, fail every live/pending
+                # handle, reject future submits, and stop.
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "engine step failed; marking engine dead"
+                )
+                self.dead = e
+                self._fail_all(e)
+                return
             if stepped == 0 and self._pending.empty():
                 time.sleep(0.001)
 

@@ -7,7 +7,7 @@ import pytest
 
 from llama_swift_tpu.config import ModelConfig, SamplingConfig
 from llama_swift_tpu.models import llama as model_lib
-from llama_swift_tpu.runtime.engine import Engine, batched_decode, slot_prefill
+from llama_swift_tpu.runtime.engine import Engine, batched_decode, slot_prefill_chunk
 from llama_swift_tpu.tokenizer import Vocab
 
 
@@ -43,15 +43,15 @@ def test_slot_prefill_matches_single(setup):
     cache_b = model_lib.init_cache_batched(cfg, B)
     tokens = [1, 5, 9, 2]
     padded, length = model_lib.pad_tokens(tokens, 8)
-    logits_slot, cache_b = slot_prefill(
-        params, jnp.asarray(padded), jnp.int32(length), jnp.int32(1), cache_b, cfg
+    logits_slot, cache_b = slot_prefill_chunk(
+        params, jnp.asarray(padded), jnp.int32(0), jnp.int32(1), cache_b, cfg
     )
     cache = model_lib.init_cache(cfg)
     logits_all, cache1 = model_lib.prefill(
         params, jnp.asarray(padded), jnp.int32(0), cache, cfg
     )
     np.testing.assert_allclose(
-        np.asarray(logits_slot), np.asarray(logits_all[length - 1]),
+        np.asarray(logits_slot[length - 1]), np.asarray(logits_all[length - 1]),
         rtol=2e-5, atol=2e-5,
     )
     # slot 1 cache plane must equal the single-seq cache; other slots
@@ -61,6 +61,67 @@ def test_slot_prefill_matches_single(setup):
         np.asarray(cache1["k"])[:, :, :length], rtol=2e-5, atol=2e-5,
     )
     assert np.all(np.asarray(cache_b["k"])[:, 0] == 0)
+
+
+def test_slot_prefill_chunked_matches_whole(setup):
+    """Prefilling a prompt in 3 chunks == prefilling it at once."""
+    cfg, params, _ = setup
+    rng = np.random.default_rng(5)
+    ids = rng.integers(3, 90, size=20).astype(np.int32).tolist()
+    bucket = 8
+    cache_b = model_lib.init_cache_batched(cfg, 2)
+    pos = 0
+    while pos < len(ids):
+        chunk = ids[pos : pos + bucket]
+        padded, clen = model_lib.pad_tokens(chunk, bucket)
+        logits, cache_b = slot_prefill_chunk(
+            params, jnp.asarray(padded), jnp.int32(pos), jnp.int32(0),
+            cache_b, cfg,
+        )
+        pos += clen
+    padded_all, length = model_lib.pad_tokens(ids, bucket)
+    cache = model_lib.init_cache(cfg)
+    logits_all, cache1 = model_lib.prefill(
+        params, jnp.asarray(padded_all), jnp.int32(0), cache, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits[(len(ids) - 1) % bucket]),
+        np.asarray(logits_all[length - 1]), rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_b["k"])[:, 0, :, : len(ids)],
+        np.asarray(cache1["k"])[:, :, : len(ids)], rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_engine_decode_continues_during_long_admission(setup):
+    """An active slot keeps emitting while a long prompt admits chunk by
+    chunk (admission must not freeze decode — VERDICT r2 item 8)."""
+    cfg, params, vocab = setup
+    eng = Engine(params, cfg, vocab, max_slots=2, prefill_bucket=4)
+    # slot A: short prompt, long budget — admitted and decoding first
+    ha = eng.submit("the rain", SamplingConfig(seed=1, n_predict=40))
+    for _ in range(8):  # admit A (possibly several chunks) + first decodes
+        eng.step()
+        if eng.slots[0].active:
+            break
+    assert eng.slots[0].active
+    # slot B: a prompt long enough to need several chunks
+    long_prompt = "the rain " * 5
+    ids_b = vocab.tokenize(long_prompt, bos=True)
+    assert len(ids_b) > 3 * 4, "prompt must span >3 chunks for this test"
+    hb = eng.submit(long_prompt, SamplingConfig(seed=2, n_predict=2))
+    a_before = len(eng.slots[0].generated)
+    steps_during_admission = 0
+    eng.step()  # B assigned + first chunk
+    while eng.slots[1].prefilling:
+        assert not eng.slots[1].active
+        eng.step()
+        steps_during_admission += 1
+    assert steps_during_admission >= 2  # really was chunked
+    a_after = len(eng.slots[0].generated)
+    # A decoded one token per step throughout B's admission
+    assert a_after - a_before >= steps_during_admission
 
 
 def test_engine_single_stream_matches_runner_tokens(setup):

@@ -129,6 +129,64 @@ def test_model_forward_transposed_matches_rowmajor(tiny_cfg, tiny_tensors):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_phase_kernel_stacked_interpret_matches_dense():
+    """Stacked-layer phase kernel (the batched-decode path of ``linear`` for
+    StackedQ4Ref) vs per-layer dense dequant, several layers and row counts —
+    CI coverage for the dispatch branch the engine takes on TPU."""
+    from llama_swift_tpu.ops.q4_matmul_pallas import (
+        Q4_0TensorT as T,
+        q4_0_matmul_pallas_stacked as mm_stacked,
+    )
+
+    rng = np.random.default_rng(13)
+    ws = [
+        Q4_0Tensor.quantize(rng.standard_normal((256, 1024)).astype(np.float32) * 0.05)
+        for _ in range(3)
+    ]
+    ts = [T.from_q4_0(w) for w in ws]
+    stacked = T(
+        scales_t=jnp.stack([jnp.asarray(t.scales_t) for t in ts]),
+        qs4=jnp.stack([jnp.asarray(t.qs4) for t in ts]),
+    )
+    for il in range(3):
+        for nrows in (1, 4):
+            x = rng.standard_normal((nrows, 1024)).astype(np.float32)
+            y = mm_stacked(jnp.asarray(x), stacked, jnp.int32(il), interpret=True)
+            ref = x @ ws[il].dequantize().T
+            np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+            # and the single-layer kernel agrees with the stacked one
+            y1 = q4_0_matmul_pallas(jnp.asarray(x), ts[il], interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(y1), rtol=1e-6, atol=1e-6
+            )
+
+
+def test_int_kernel_stacked_interpret_matches_single():
+    """Stacked integer kernel vs the single-layer integer kernel (exact
+    int4×int4 semantics must be layer-index invariant)."""
+    from llama_swift_tpu.ops.q4_matmul_pallas import (
+        Q4_0TensorT as T,
+        q4_0_int_matmul_pallas as imm,
+        q4_0_int_matmul_pallas_stacked as imm_stacked,
+    )
+
+    rng = np.random.default_rng(17)
+    ws = [
+        Q4_0Tensor.quantize(rng.standard_normal((128, 1024)).astype(np.float32) * 0.05)
+        for _ in range(2)
+    ]
+    ts = [T.from_q4_0(w) for w in ws]
+    stacked = T(
+        scales_t=jnp.stack([jnp.asarray(t.scales_t) for t in ts]),
+        qs4=jnp.stack([jnp.asarray(t.qs4) for t in ts]),
+    )
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
+    for il in range(2):
+        y = imm_stacked(jnp.asarray(x), stacked, jnp.int32(il), interpret=True)
+        y1 = imm(jnp.asarray(x), ts[il], interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y1), rtol=0, atol=0)
+
+
 def test_phase_kernel_interpret_matches_dense():
     """The phase-dequant kernel (magic extraction + concatenated dot) must
     match dense dequant exactly-ish."""
