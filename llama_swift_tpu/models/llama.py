@@ -521,9 +521,10 @@ def forward(
                 flash_decode_attention_stacked,
             )
 
-            chunk = cfg.n_ctx if cfg.n_ctx <= 512 else (
-                512 if cfg.n_ctx % 512 == 0 else cfg.n_ctx
-            )
+            # fine-grained chunks bound KV reads by the n_past high-water
+            # mark (clamped index map elides DMA of dead chunks): bytes/step
+            # scale with n_past, not n_ctx
+            chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
             if il is None:
                 ctx = flash_decode_attention(
                     q[0], cl["k"], cl["v"], n_past, chunk=chunk

@@ -37,12 +37,19 @@ def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, 
     the last two block dims be (8, 128)-divisible or whole — a (1, Dh)
     per-head block is neither); the kernel indexes the live head's row.
     k/v chunk: [1, C, Dh]; scratch m/l: [1, 128] (col 0 live), acc: [1, Dh].
+
+    O(n_past), not O(n_ctx): chunks past the high-water mark are skipped —
+    their compute is predicated off here, and their k/v DMA never happens
+    because the index map clamps the block index (Pallas elides refetch of
+    an unchanged block).  KV bytes/step scale with n_past.
     """
     i = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     chunk = k_ref.shape[1]
     dh = q_ref.shape[1]
+    n_past = npast_ref[0]
+    live = n_past // chunk  # last chunk containing attendable slots
 
     @pl.when(c == 0)
     def _():
@@ -50,32 +57,33 @@ def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, 
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    n_past = npast_ref[0]
-    scale = 1.0 / np.sqrt(float(dh))
-    q = q_ref[pl.dslice(i, 1), :].astype(jnp.float32)  # [1, Dh]
-    k = k_ref[0].astype(jnp.float32)  # [C, Dh]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [1, C]
-    j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    s = jnp.where(j <= n_past, s, NEG_INF)
+    @pl.when(c <= live)
+    def _():
+        scale = 1.0 / np.sqrt(float(dh))
+        q = q_ref[pl.dslice(i, 1), :].astype(jnp.float32)  # [1, Dh]
+        k = k_ref[0].astype(jnp.float32)  # [C, Dh]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [1, C]
+        j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        s = jnp.where(j <= n_past, s, NEG_INF)
 
-    m_prev = m_ref[0, 0]
-    m_new = jnp.maximum(m_prev, jnp.max(s))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [1, C]
-    # vector stores only (Mosaic rejects scalar VMEM stores): every lane of
-    # the m/l scratch rows carries the same value
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p)
-    pv = jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, Dh]
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.full_like(m_ref, m_new)
+        m_prev = m_ref[0, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [1, C]
+        # vector stores only (Mosaic rejects scalar VMEM stores): every lane
+        # of the m/l scratch rows carries the same value
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p)
+        pv = jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, Dh]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.full_like(m_ref, m_new)
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -91,34 +99,47 @@ def flash_decode_attention(
     values: jnp.ndarray,  # [H, n_ctx, Dh]
     n_past: jnp.ndarray,  # scalar int32: attend slots j <= n_past
     *,
-    chunk: int = 512,
+    chunk: int = 128,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Fused single-query attention; returns [H, Dh] f32."""
+    """Fused single-query attention; returns [H, Dh] f32.
+
+    KV traffic is O(n_past): the chunk grid covers n_ctx but the index map
+    clamps chunks beyond ``n_past // chunk`` onto the last live block, whose
+    DMA Pallas elides as unchanged (SURVEY.md §5.7 — the O(ctx²) pathology
+    this build exists to kill; the reference re-reads and re-ropes the full
+    K history every step, ``LlamaPredictOperation.mm:604-611``).
+    """
     if interpret is None:
         # auto: interpreter on non-TPU backends so the flag works everywhere
         interpret = jax.default_backend() not in ("tpu", "axon")
     h, n_ctx, dh = keys.shape
     chunk = min(chunk, n_ctx)
     assert n_ctx % chunk == 0, (n_ctx, chunk)
-    grid = (h, n_ctx // chunk)
     npast_arr = jnp.full((1,), n_past, dtype=jnp.int32)
-    return pl.pallas_call(
-        _flash_decode_kernel,
-        grid=grid,
+
+    def kv_map(i, c, s):
+        return (i, jnp.minimum(c, s[0] // chunk), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h, n_ctx // chunk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((h, dh), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, dh), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+            pl.BlockSpec((1, chunk, dh), kv_map),
+            pl.BlockSpec((1, chunk, dh), kv_map),
         ],
-        out_specs=pl.BlockSpec((h, dh), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
+        out_specs=pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, dh), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        _flash_decode_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
         interpret=interpret,
     )(npast_arr, q, keys, values)
 
@@ -138,6 +159,8 @@ def _flash_decode_stacked_kernel(
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     hb, chunk, dh = k_ref.shape[1], k_ref.shape[2], q_ref.shape[1]
+    n_past = s_ref[1]
+    live = n_past // chunk
 
     @pl.when(c == 0)
     def _():
@@ -145,45 +168,46 @@ def _flash_decode_stacked_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    n_past = s_ref[1]
-    scale = 1.0 / np.sqrt(float(dh))
-    qb = q_ref[pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
-    # per-head 2D dots, statically unrolled (Mosaic's dot lowering has no
-    # batch dims in this jax version)
-    s = jnp.concatenate(
-        [
-            jax.lax.dot_general(
-                qb[hh : hh + 1],
-                k_ref[0, hh].astype(jnp.float32),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for hh in range(hb)
-        ],
-        axis=0,
-    ) * scale  # [HB, C]
-    j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
-    s = jnp.where(j <= n_past, s, NEG_INF)
+    @pl.when(c <= live)
+    def _():
+        scale = 1.0 / np.sqrt(float(dh))
+        qb = q_ref[pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
+        # per-head 2D dots, statically unrolled (Mosaic's dot lowering has no
+        # batch dims in this jax version)
+        s = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    qb[hh : hh + 1],
+                    k_ref[0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        ) * scale  # [HB, C]
+        j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
+        s = jnp.where(j <= n_past, s, NEG_INF)
 
-    m_prev = m_ref[:, 0:1]  # [HB, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)  # [HB, 1]
-    p = jnp.exp(s - m_new)  # [HB, C]
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    pv = jnp.concatenate(
-        [
-            jax.lax.dot_general(
-                p[hh : hh + 1],
-                v_ref[0, hh].astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for hh in range(hb)
-        ],
-        axis=0,
-    )  # [HB, Dh]
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        m_prev = m_ref[:, 0:1]  # [HB, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # [HB, 1]
+        p = jnp.exp(s - m_new)  # [HB, C]
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    p[hh : hh + 1],
+                    v_ref[0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        )  # [HB, Dh]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -200,12 +224,17 @@ def flash_decode_attention_stacked(
     layer_idx,  # scalar int32
     n_past: jnp.ndarray,  # scalar int32: attend slots j <= n_past
     *,
-    chunk: int = 512,
+    chunk: int = 128,
     h_block: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused single-query attention reading one layer of the stacked cache
-    in place; returns [H, Dh] f32."""
+    in place; returns [H, Dh] f32.
+
+    KV traffic is O(n_past): chunk blocks beyond ``n_past // chunk`` clamp
+    onto the last live block in the index map, so Pallas elides their DMA
+    (unchanged block) and the kernel predicates their compute off.
+    """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     L, h, n_ctx, dh = keys.shape
@@ -220,17 +249,17 @@ def flash_decode_attention_stacked(
     scalars = jnp.stack(
         [jnp.asarray(layer_idx, jnp.int32), jnp.asarray(n_past, jnp.int32)]
     )
+
+    def kv_map(i, c, s):
+        return (s[0], i, jnp.minimum(c, s[1] // chunk), 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(h // h_block, n_ctx // chunk),
         in_specs=[
             pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
-            pl.BlockSpec(
-                (1, h_block, chunk, dh), lambda i, c, s: (s[0], i, c, 0)
-            ),
-            pl.BlockSpec(
-                (1, h_block, chunk, dh), lambda i, c, s: (s[0], i, c, 0)
-            ),
+            pl.BlockSpec((1, h_block, chunk, dh), kv_map),
+            pl.BlockSpec((1, h_block, chunk, dh), kv_map),
         ],
         out_specs=pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
         scratch_shapes=[

@@ -56,6 +56,49 @@ def test_flash_bf16_cache(qkv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("n_past", [0, 5, 129, 255])
+def test_flash_stacked_matches_reference(qkv, n_past):
+    """Stacked-cache kernel (layer indexed via scalar prefetch, chunks
+    clamped to the n_past high-water mark) vs the unfused reference."""
+    from llama_swift_tpu.ops.attention import flash_decode_attention_stacked
+
+    q, k, v = qkv
+    L = 3
+    rng = np.random.default_rng(42)
+    ks = jnp.stack([k] + [
+        jnp.asarray(rng.standard_normal(k.shape).astype(np.float32))
+        for _ in range(L - 1)
+    ])
+    vs = jnp.stack([v] + [
+        jnp.asarray(rng.standard_normal(v.shape).astype(np.float32))
+        for _ in range(L - 1)
+    ])
+    for il in range(L):
+        out = flash_decode_attention_stacked(
+            q, ks, vs, jnp.int32(il), jnp.int32(n_past), chunk=128,
+            interpret=True,
+        )
+        ref = reference_decode_attention(q, ks[il], vs[il], n_past)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_flash_stacked_ignores_stale_slots(qkv):
+    """Chunks past the high-water mark are skipped (their DMA is elided by
+    the clamped index map): garbage there must not leak into the output."""
+    from llama_swift_tpu.ops.attention import flash_decode_attention_stacked
+
+    q, k, v = qkv
+    k2 = jnp.stack([k.at[:, 128:, :].set(jnp.nan)])
+    v2 = jnp.stack([v.at[:, 128:, :].set(jnp.nan)])
+    out = flash_decode_attention_stacked(
+        q, k2, v2, jnp.int32(0), jnp.int32(100), chunk=128, interpret=True
+    )
+    ref = reference_decode_attention(q, k, v, 100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_model_decode_with_flash_flag(tiny_cfg, tiny_tensors):
     """forward() with use_flash_decode must match the XLA attention path."""
     import jax.numpy as jnp
