@@ -197,6 +197,14 @@ class RunnerConfig:
     #: reference's batched prompt loop (.mm:878-889; sans its off-by-one),
     #: instead of one padded prefill. Same numerics; more, smaller steps.
     chunked_prefill: bool = False
+    #: sample on DEVICE (runtime/device_sampler.py): the exact reference
+    #: pipeline as jax ops, ``device_chunk`` tokens per dispatch instead of
+    #: one host round trip per token.  RNG is jax's counted threefry; the
+    #: host path (default) keeps the numpy/mt19937 stream options.
+    device_sampling: bool = False
+    #: tokens generated per device dispatch when ``device_sampling`` (the
+    #: streaming granularity; dispatch latency amortizes over the chunk)
+    device_chunk: int = 32
 
     def resolved_sampling(self) -> SamplingConfig:
         """numTokens overrides n_predict, like the bridge translation

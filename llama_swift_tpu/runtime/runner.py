@@ -187,26 +187,36 @@ class LlamaRunner:
             n_past = len(prompt_ids)
             generated: list[int] = []
             t_decode = 0.0
-            for _ in range(n_predict):
-                tid = sampler.sample(logits)
-                generated.append(tid)
-                if reverse_ids and generated[-len(reverse_ids):] == reverse_ids:
-                    break
-                yield Event.output_token(self.vocab.piece_str(tid))
-                if len(generated) >= n_predict:
-                    break
-                t1 = time.perf_counter()
-                step_logits, cache = model_lib.decode_step(
-                    self.params, jnp.asarray(tid, dtype=jnp.int32),
-                    jnp.int32(n_past), cache, cfg,
+            if config.device_sampling:
+                # N tokens per dispatch, sampling fused into the decode loop
+                # (runtime/device_sampler.py) — the serving-throughput path
+                yield from self._decode_device(
+                    config, sampling, prompt_ids, reverse_ids, n_predict,
+                    cache, generated,
                 )
-                logits = np.asarray(step_logits)
-                t_decode += time.perf_counter() - t1
-                n_past += 1
-            self.stats["t_decode_s"] = t_decode
-            self.stats["generated_tokens"] = len(generated)
-            if t_decode > 0 and len(generated) > 1:
-                self.stats["decode_tok_per_s"] = (len(generated) - 1) / t_decode
+            else:
+                # host sampler per token: numpy / native-mt19937 RNG-stream
+                # parity options (one device round trip per token)
+                for _ in range(n_predict):
+                    tid = sampler.sample(logits)
+                    generated.append(tid)
+                    if reverse_ids and generated[-len(reverse_ids):] == reverse_ids:
+                        break
+                    yield Event.output_token(self.vocab.piece_str(tid))
+                    if len(generated) >= n_predict:
+                        break
+                    t1 = time.perf_counter()
+                    step_logits, cache = model_lib.decode_step(
+                        self.params, jnp.asarray(tid, dtype=jnp.int32),
+                        jnp.int32(n_past), cache, cfg,
+                    )
+                    logits = np.asarray(step_logits)
+                    t_decode += time.perf_counter() - t1
+                    n_past += 1
+                self.stats["t_decode_s"] = t_decode
+                self.stats["generated_tokens"] = len(generated)
+                if t_decode > 0 and len(generated) > 1:
+                    self.stats["decode_tok_per_s"] = (len(generated) - 1) / t_decode
         except LlamaError as e:
             yield Event.failed(e)
             return
@@ -214,6 +224,65 @@ class LlamaRunner:
             yield Event.failed(PredictionFailedError(str(e)))
             return
         yield Event.completed()
+
+    def _decode_device(
+        self, config, sampling, prompt_ids, reverse_ids, n_predict,
+        cache, generated,
+    ) -> Iterator[Event]:
+        """On-device chunked sampled decode: ``device_chunk`` tokens per
+        dispatch through ``sampled_decode_loop`` (forward + exact reference
+        sampling fused into one compiled while-loop).  The reverse-prompt
+        check runs between emitted tokens on the host, same semantics as the
+        per-token path (stop before emitting the matching token)."""
+        import dataclasses as _dc
+
+        import jax
+
+        from ..config import SamplingConfig
+        from .device_sampler import init_ring, sampled_decode_loop
+
+        cfg = self.config
+        # normalize fields irrelevant to the compiled sampler so one program
+        # serves every run (scfg is a static jit arg)
+        scfg = _dc.replace(
+            sampling, seed=None, n_predict=0, n_batch=8, rng_impl="numpy"
+        )
+        seed = sampling.seed
+        if seed is None or (isinstance(seed, int) and seed < 0):
+            import secrets
+
+            seed = 0xFFFFFFFF if seed == -1 else secrets.randbits(31)
+        key = jax.random.key(int(seed))
+        ring, pos = init_ring(prompt_ids, sampling.repeat_last_n)
+        chunk = max(1, int(config.device_chunk))
+        last = jnp.asarray(prompt_ids[-1], jnp.int32)
+        n_past = len(prompt_ids) - 1  # loop re-evals the last prompt slot
+        t_decode = 0.0
+        stop = False
+        while len(generated) < n_predict and not stop:
+            steps = min(chunk, n_predict - len(generated))
+            t1 = time.perf_counter()
+            toks, cache, ring, pos, key = sampled_decode_loop(
+                self.params, last, jnp.int32(n_past), cache, ring, pos, key,
+                jnp.int32(steps), cfg, scfg, chunk,
+            )
+            out = np.asarray(toks)[:steps]
+            t_decode += time.perf_counter() - t1
+            for tid in out:
+                tid = int(tid)
+                generated.append(tid)
+                if reverse_ids and generated[-len(reverse_ids):] == reverse_ids:
+                    stop = True
+                    break
+                yield Event.output_token(self.vocab.piece_str(tid))
+                if len(generated) >= n_predict:
+                    break
+            last = jnp.asarray(int(out[-1]), jnp.int32)
+            n_past += steps
+        self.stats["t_decode_s"] = t_decode
+        self.stats["generated_tokens"] = len(generated)
+        if t_decode > 0 and generated:
+            self.stats["decode_tok_per_s"] = len(generated) / t_decode
 
     # ------------------------------------------------------------------
     # closure variant (LlamaRunner.swift:90-123)
