@@ -1,0 +1,165 @@
+"""End-to-end Δppl protocol run → PPL_r{N}.json (VERDICT r2 item 6).
+
+Exercises the ENTIRE offline pipeline with the repo's own tools, exactly the
+path a real LLaMA checkpoint takes:
+
+  fake torch checkpoint (+ params.json, tokenizer shim)
+    → tools/convert_pth.py   (ftype=1: ggml f16 file)
+    → tools/quantize.py      (itype=2: ggml q4_0 file)
+    → tools/perplexity.py    (llama.cpp windowing: n_ctx windows, BOS per
+                              chunk, score the second half) on a REAL text
+                              file (README.md), once per model file
+    → PPL_r{N}.json          {ppl_f16, ppl_q4_0, delta}
+
+Weights are random (no license-encumbered LLaMA weights in this image), so
+the absolute ppl is ~uniform over the byte vocab; the artifact demonstrates
+the measurement protocol end to end — the number that must hold on real
+weights is |ppl(q4_0) − ppl(f16)| being small (BASELINE: Δppl ≤ 0.01 vs
+llama.cpp at the same bit width).
+
+Usage: python experiments/ppl_artifact.py [--out PPL_r03.json] [--text README.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class ByteFallbackTok:
+    """SentencePiece shim: 3 specials + 256 byte pieces + filler ids, enough
+    for the greedy tokenizer to consume arbitrary raw text."""
+
+    def __init__(self, n_vocab: int):
+        self.n = n_vocab
+
+    def vocab_size(self):
+        return self.n
+
+    def is_unknown(self, i):
+        return i == 0
+
+    def is_control(self, i):
+        return i in (1, 2)
+
+    def is_byte(self, i):
+        return 3 <= i < 259
+
+    def id_to_piece(self, i):
+        if 3 <= i < 259:
+            return f"<0x{i - 3:02X}>"
+        return f"▁w{i}"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PPL_r03.json")
+    ap.add_argument("--text", default="README.md")
+    ap.add_argument("--n-ctx", type=int, default=64)
+    ap.add_argument("--max-windows", type=int, default=6)
+    ap.add_argument("--workdir", default="/tmp/ppl_artifact")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import torch
+
+    os.makedirs(args.workdir, exist_ok=True)
+    ckpt_dir = os.path.join(args.workdir, "tinyB")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    # --- 1. fake torch checkpoint with reference tensor names -------------
+    dim, n_heads, n_layers, vocab = 64, 4, 2, 288
+    rng = np.random.default_rng(0)
+
+    def t(*shape, scale=0.05):
+        return torch.from_numpy(
+            (scale * rng.standard_normal(shape)).astype(np.float32)
+        )
+
+    n_ff = ((2 * (4 * dim) // 3 + 31) // 32) * 32
+    sd = {
+        "tok_embeddings.weight": t(vocab, dim),
+        "norm.weight": torch.ones(dim),
+        "output.weight": t(vocab, dim),
+        "rope.freqs": torch.zeros(dim // n_heads // 2),
+    }
+    for l in range(n_layers):
+        p = f"layers.{l}."
+        sd[p + "attention_norm.weight"] = torch.ones(dim)
+        sd[p + "ffn_norm.weight"] = torch.ones(dim)
+        for w in ("wq", "wk", "wv", "wo"):
+            sd[p + f"attention.{w}.weight"] = t(dim, dim)
+        sd[p + "feed_forward.w1.weight"] = t(n_ff, dim)
+        sd[p + "feed_forward.w2.weight"] = t(dim, n_ff)
+        sd[p + "feed_forward.w3.weight"] = t(n_ff, dim)
+    torch.save(sd, os.path.join(ckpt_dir, "consolidated.00.pth"))
+    with open(os.path.join(ckpt_dir, "params.json"), "w") as f:
+        json.dump({"dim": dim, "multiple_of": 32, "n_heads": n_heads,
+                   "n_layers": n_layers}, f)
+
+    # --- 2. convert → f16 ggml file (repo tool) ---------------------------
+    shim = types.ModuleType("sentencepiece")
+    shim.SentencePieceProcessor = lambda path: ByteFallbackTok(vocab)
+    sys.modules["sentencepiece"] = shim
+    from llama_swift_tpu.tools import convert_pth
+
+    outs = convert_pth.convert(ckpt_dir, ftype=1)
+    f16_path = outs[0]
+    print(f"[ppl] converted -> {f16_path}", file=sys.stderr)
+
+    # --- 3. quantize → q4_0 (repo tool) -----------------------------------
+    from llama_swift_tpu.tools.quantize import quantize_model_file
+
+    q4_path = os.path.join(args.workdir, "ggml-model-q4_0.bin")
+    quantize_model_file(f16_path, q4_path, 2, log=lambda *a, **k: None)
+    print(f"[ppl] quantized -> {q4_path}", file=sys.stderr)
+
+    # --- 4. perplexity over a real text file, both models -----------------
+    import contextlib
+    import io
+
+    from llama_swift_tpu.tools import perplexity as ppl_cli
+
+    results = {}
+    for name, path in [("f16", f16_path), ("q4_0", q4_path)]:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = ppl_cli.main([
+                "--model", path, "--text", args.text,
+                "--n-ctx", str(args.n_ctx),
+                "--max-windows", str(args.max_windows),
+            ])
+        assert rc == 0
+        results[name] = json.loads(buf.getvalue().strip().splitlines()[-1])
+        print(f"[ppl] {name}: {results[name]}", file=sys.stderr)
+
+    out = {
+        "protocol": "llama.cpp perplexity: non-overlapping n_ctx windows, "
+                    "BOS per chunk, NLL over second half of each window",
+        "pipeline": "torch ckpt -> tools/convert_pth (f16) -> tools/quantize "
+                    "(q4_0) -> tools/perplexity",
+        "text": args.text,
+        "n_ctx": args.n_ctx,
+        "windows": args.max_windows,
+        "n_scored": results["f16"]["n_scored"],
+        "weights": "random tiny model (no LLaMA weights in image); absolute "
+                   "ppl ~ uniform-over-vocab, delta demonstrates the q4_0 "
+                   "quantization effect through the full pipeline",
+        "ppl_f16": results["f16"]["ppl"],
+        "ppl_q4_0": results["q4_0"]["ppl"],
+        "delta": round(results["q4_0"]["ppl"] - results["f16"]["ppl"], 6),
+        "target_on_real_weights": "|delta| <= 0.01 vs llama.cpp q4_0 (BASELINE.json)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

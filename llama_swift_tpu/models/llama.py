@@ -154,7 +154,12 @@ def params_from_tensors(
     vocab_pad = rup(cfg.n_vocab)
 
     params: Params = {
-        "tok_embeddings": cvt(tensors["tok_embeddings.weight"]),
+        # tok_embeddings rows pad with output's vocab padding so a
+        # vocab-sharded TP layout (parallel/tp.py) shards whole 128-row
+        # tiles; padded rows are unreachable (ids < n_vocab)
+        "tok_embeddings": cvt(
+            _pad_weight(tensors["tok_embeddings.weight"], out_to=vocab_pad)
+        ),
         "norm": cvt(tensors["norm.weight"]),
         "output": cvt(_pad_weight(tensors["output.weight"], out_to=vocab_pad)),
         "layers": [],

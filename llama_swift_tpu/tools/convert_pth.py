@@ -37,10 +37,14 @@ FTYPE_STR = ["f32", "f16"]
 
 
 def get_n_parts(dim: int) -> int:
+    """Checkpoint part count by embedding dim (``convert-pth-to-ggml.py:39-49``).
+    Unknown dims (tiny test models) default to single-part with a warning
+    instead of the reference's hard exit — real LLaMA dims hit the table."""
     table = {4096: 1, 5120: 2, 6656: 4, 8192: 8}
     if dim not in table:
-        print(f"Invalid dim: {dim}")
-        sys.exit(1)
+        print(f"warning: unknown dim {dim}, assuming single-part checkpoint",
+              file=sys.stderr)
+        return 1
     return table[dim]
 
 
