@@ -1,16 +1,27 @@
-"""Benchmark driver: single-chip Q4_0 decode throughput.
+"""Benchmark driver: the BASELINE.json measurement set on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+Default run prints MULTIPLE JSON lines (one metric each), headline first
+AND repeated last so any line-picking parser lands on it:
+
+  decode_tok_per_s_*   batch-1 greedy decode, on-device scan loop (headline)
+  ttft_p50_s_*         p50 time-to-first-token, 64- and 512-token prompts
+  served_tok_per_s_*   the RUNNER path: sampled_decode_loop in 32-token
+                       dispatch chunks incl. host fetch per chunk (the
+                       product serving loop, not just the bench loop)
+  decode_tok_per_s_13b_..._batchN   13B Q4_0 continuous-batching aggregate
+                       (B=8,16 at 512 ctx; B=32 at 256 ctx — HBM bound)
 
 ``vs_baseline`` is the fraction of the weight-load-bound speed of light
 (tokens/s at full HBM bandwidth streaming the packed Q4_0 weight bytes once
 per token — the roofline the BASELINE.md north star is phrased against;
 >=0.90 is the target).  The reference publishes no numbers (BASELINE.md), so
-the roofline is the honest denominator.
+the roofline is the honest denominator.  For TTFT, vs_baseline is the
+prefill-FLOP-bound time over measured time (MXU roofline).
 
 Weights are synthetic (random nibbles/scales generated on device — numerics
 don't matter for bandwidth measurements; correctness is covered by tests/).
+
+``--quick`` runs only the headline decode metric (the r1/r2 behavior).
 """
 
 import argparse
@@ -118,6 +129,116 @@ def build_synthetic_dense_params(cfg):
     return gen_all(), total
 
 
+SIZES = {
+    "tiny": dict(n_embd=512, n_head=8, n_layer=4, n_vocab=32000, n_mult=256),
+    "1b": dict(n_embd=2048, n_head=16, n_layer=16, n_vocab=32000, n_mult=256),
+    "7b": dict(n_embd=4096, n_head=32, n_layer=32, n_vocab=32000, n_mult=256),
+    "13b": dict(n_embd=5120, n_head=40, n_layer=40, n_vocab=32000, n_mult=256),
+}
+
+
+def make_cfg(size, args, n_ctx=None):
+    from llama_swift_tpu.config import GGMLType, ModelConfig
+
+    return ModelConfig(
+        ftype=GGMLType.Q4_0, n_ctx=n_ctx or args.n_ctx, n_rot=64,
+        compute_dtype="float32", quantize_activations=True,
+        fuse_layer_matmuls=not args.no_fuse,
+        kv_cache_dtype=args.kv_dtype,
+        use_flash_decode=args.flash,
+        scan_layers=args.scan_layers,
+        **SIZES[size],
+    )
+
+
+def build_params(cfg, args):
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.models import llama as model_lib
+
+    stack = not args.no_stack
+    if args.weights == "dense-bf16":
+        tensors, weight_bytes = build_synthetic_dense_params(cfg)
+        params = model_lib.params_from_tensors(
+            tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=stack
+        )
+    else:
+        layout = "t" if args.weights == "q4-packed-t" else "v"
+        tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
+        params = model_lib.params_from_tensors(
+            tensors, cfg, param_dtype=jnp.float32, stack_layers=stack
+        )
+    return params, weight_bytes
+
+
+def emit(metric, value, unit, vs_baseline):
+    line = {
+        "metric": metric, "value": round(value, 4), "unit": unit,
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def ttft_bench(cfg, params, prompt_len, args):
+    """p50 time-to-first-token: padded prefill dispatch + greedy first-token
+    fetch, wall clock (includes the tunneled backend's dispatch latency —
+    the honest serving number on this setup)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_swift_tpu.models import llama as model_lib
+
+    prompt = np.full(prompt_len, 7, dtype=np.int32)
+    times = []
+    for it in range(6):  # first iteration compiles; excluded below
+        cache = model_lib.init_cache(cfg)
+        t0 = time.perf_counter()
+        logits, cache = model_lib.prefill(
+            params, jnp.asarray(prompt), jnp.int32(0), cache, cfg
+        )
+        tok = int(np.asarray(jnp.argmax(logits[prompt_len - 1])))
+        times.append(time.perf_counter() - t0)
+        del cache
+    return float(np.median(times[1:]))
+
+
+def served_bench(cfg, params, weight_bytes, args, chunk=32):
+    """The runner path: sampled_decode_loop in `chunk`-token dispatches with
+    a host fetch per chunk (runtime/runner._decode_device's loop)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_swift_tpu.config import SamplingConfig
+    from llama_swift_tpu.models import llama as model_lib
+    from llama_swift_tpu.runtime.device_sampler import init_ring, sampled_decode_loop
+
+    scfg = SamplingConfig(seed=None, n_predict=0, rng_impl="numpy")
+    cache = model_lib.init_cache(cfg)
+    ring, pos = init_ring([7] * 8, scfg.repeat_last_n)
+    key = jax.random.key(0)
+    last = jnp.asarray(7, jnp.int32)
+    n_past = 0
+
+    def run_chunks(n_chunks, last, n_past, cache, ring, pos, key):
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            toks, cache, ring, pos, key = sampled_decode_loop(
+                params, last, jnp.int32(n_past), cache, ring, pos, key,
+                jnp.int32(chunk), cfg, scfg, chunk,
+            )
+            out = np.asarray(toks)
+            last = jnp.asarray(int(out[-1]), jnp.int32)
+            n_past += chunk
+        return time.perf_counter() - t0, last, n_past, cache, ring, pos, key
+
+    # warm (compile), then time 3 chunks
+    _, last, n_past, cache, ring, pos, key = run_chunks(1, last, n_past, cache, ring, pos, key)
+    dt, last, n_past, cache, ring, pos, key = run_chunks(3, last, n_past, cache, ring, pos, key)
+    return 3 * chunk / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="7b", choices=["tiny", "1b", "7b", "13b"])
@@ -126,6 +247,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help=">1: batched greedy decode (continuous-batching "
                          "inner loop); reports aggregate tok/s")
+    ap.add_argument("--quick", action="store_true",
+                    help="headline decode metric only (skip TTFT/served/13B)")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
     ap.add_argument("--flash", action="store_true", default=True,
                     help="use the flash-decode attention kernel (default)")
@@ -155,126 +278,150 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from llama_swift_tpu.config import GGMLType, ModelConfig
     from llama_swift_tpu.models import llama as model_lib
 
-    sizes = {
-        "tiny": dict(n_embd=512, n_head=8, n_layer=4, n_vocab=32000, n_mult=256),
-        "1b": dict(n_embd=2048, n_head=16, n_layer=16, n_vocab=32000, n_mult=256),
-        "7b": dict(n_embd=4096, n_head=32, n_layer=32, n_vocab=32000, n_mult=256),
-        "13b": dict(n_embd=5120, n_head=40, n_layer=40, n_vocab=32000, n_mult=256),
-    }
-    cfg = ModelConfig(
-        ftype=GGMLType.Q4_0, n_ctx=args.n_ctx, n_rot=64,
-        compute_dtype="float32", quantize_activations=True,
-        fuse_layer_matmuls=not args.no_fuse,
-        kv_cache_dtype=args.kv_dtype,
-        use_flash_decode=args.flash,
-        scan_layers=args.scan_layers,
-        **sizes[args.size],
-    )
-
-    stack = not args.no_stack
-    if args.weights == "dense-bf16":
-        tensors, weight_bytes = build_synthetic_dense_params(cfg)
-        params = model_lib.params_from_tensors(
-            tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=stack
-        )
-    else:
-        layout = "t" if args.weights == "q4-packed-t" else "v"
-        tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
-        params = model_lib.params_from_tensors(
-            tensors, cfg, param_dtype=jnp.float32, stack_layers=stack
-        )
+    cfg = make_cfg(args.size, args)
+    params, weight_bytes = build_params(cfg, args)
 
     import functools
 
-    import jax
-
     if args.batch > 1:
-        # batched greedy decode under one scan: the continuous-batching
-        # engine's inner loop (runtime/engine.batched_decode) at full speed.
-        # forward_batched streams the packed weights ONCE per step for all
-        # slots (vmap(forward) would re-stream them per slot).
-        import numpy as np
+        tok_per_s = batched_decode_bench(cfg, params, args.batch, args.steps)
+        sol = args.hbm_gbps * 1e9 / weight_bytes
+        emit(
+            f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch{args.batch}",
+            tok_per_s, "tok/s", tok_per_s / (args.batch * sol),
+        )
+        return 0
 
-        B = args.batch
-        cache = model_lib.init_cache_batched(cfg, B)
+    sol = args.hbm_gbps * 1e9 / weight_bytes
+    tok_per_s = decode_bench(cfg, params, args.steps)
+    headline = emit(
+        f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch1",
+        tok_per_s, "tok/s", tok_per_s / sol,
+    )
+    if args.quick:
+        return 0
 
-        @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
-        def batched_loop(params, tokens, n_pasts, cache, steps):
-            def body(carry, _):
-                tokens, n_pasts, cache = carry
-                logits, cache = model_lib.forward_batched(
-                    params, tokens, n_pasts, cache, cfg
-                )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, n_pasts + 1, cache), nxt
+    # --- TTFT p50 (BASELINE.json: "decode tokens/s/chip + p50 TTFT") -------
+    for plen in sorted({min(64, cfg.n_ctx), min(512, cfg.n_ctx)}):
+        t = ttft_bench(cfg, params, plen, args)
+        # weight-stream-bound prefill time is the SOL reference
+        emit(f"ttft_p50_s_{args.size}_q4_0_prompt{plen}", t, "s",
+             (weight_bytes / (args.hbm_gbps * 1e9)) / t)
 
-            (tokens, n_pasts, cache), out = jax.lax.scan(
-                body, (tokens, n_pasts, cache), None, length=steps
-            )
-            return out, cache
+    # --- served throughput (runner path: chunked device-sampled decode) ----
+    served = served_bench(cfg, params, weight_bytes, args)
+    emit(f"served_tok_per_s_{args.size}_q4_0_chunk32", served, "tok/s",
+         served / sol)
 
-        def run(tokens, start, steps, cache):
-            t0 = time.perf_counter()
-            out, cache = batched_loop(
-                params, tokens, jnp.full((B,), start, jnp.int32), cache, steps
-            )
-            out = np.asarray(out)
-            return time.perf_counter() - t0, out, cache
+    # --- 13B continuous batching (BASELINE.json: "13B Q4_0 8-32 streams") --
+    del params
+    import gc
 
-        tokens = jnp.full((B,), 7, dtype=jnp.int32)
-        lo, hi = args.steps, 2 * args.steps
-        _, out, cache = run(tokens, 0, lo, cache)
-        _, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
-        t_lo, out, cache = run(jnp.asarray(out[-1]), 0, lo, cache)
-        t_hi, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
-        t_lo2, out, cache = run(jnp.asarray(out[-1]), 0, lo, cache)
-        t_hi2, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
-        dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
-        tok_per_s = args.steps * B / dt
-        metric = f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch{B}"
-    else:
-        import numpy as np
+    gc.collect()
+    b_size = "13b" if args.size in ("7b", "13b") else args.size
+    for B, b_ctx in ((8, 512), (16, 512), (32, 256)):
+        b_ctx = min(b_ctx, args.n_ctx)
+        cfg13 = make_cfg(b_size, args, n_ctx=b_ctx)
+        params13, wb13 = build_params(cfg13, args)
+        try:
+            agg = batched_decode_bench(cfg13, params13, B, max(8, args.steps // 2))
+            sol13 = args.hbm_gbps * 1e9 / wb13
+            emit(f"decode_tok_per_s_{b_size}_q4_0_{args.weights}_batch{B}_ctx{b_ctx}",
+                 agg, "tok/s", agg / (B * sol13))
+        finally:
+            del params13
+            gc.collect()
 
-        cache = model_lib.init_cache(cfg)
-        token = jnp.asarray(7, dtype=jnp.int32)
-
-        def run(tok, start, steps, cache):
-            """One timed dispatch; np.asarray forces a real host fetch —
-            block_until_ready() does not reliably block on the tunneled
-            (axon) backend, and dispatch overhead is tens of ms, so tok/s is
-            computed from the MARGINAL cost of extra steps."""
-            t0 = time.perf_counter()
-            toks, cache = model_lib.greedy_decode_loop(
-                params, tok, jnp.int32(start), cache, cfg, steps
-            )
-            toks = np.asarray(toks)
-            return time.perf_counter() - t0, toks, cache
-
-        lo = args.steps
-        hi = 2 * args.steps
-        # warm both scan lengths (compile), then time each twice
-        _, toks, cache = run(token, 0, lo, cache)
-        _, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
-        t_lo, toks, cache = run(jnp.asarray(toks[-1]), 0, lo, cache)
-        t_hi, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
-        t_lo2, toks, cache = run(jnp.asarray(toks[-1]), 0, lo, cache)
-        t_hi2, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
-        dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
-        tok_per_s = args.steps / dt
-        metric = f"decode_tok_per_s_{args.size}_q4_0_{args.weights}_batch1"
-
-    sol_tok_per_s = args.hbm_gbps * 1e9 / weight_bytes
-    result = {
-        "metric": metric,
-        "value": round(tok_per_s, 3),
-        "unit": "tok/s",
-        "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
-    }
-    print(json.dumps(result))
+    # repeat the headline LAST for last-line parsers
+    print(json.dumps(headline), flush=True)
     return 0
+
+
+def batched_decode_bench(cfg, params, B, steps):
+    """Aggregate tok/s of B-slot greedy decode under one scan — the
+    continuous-batching engine inner loop (runtime/engine.batched_decode);
+    forward_batched streams the packed weights ONCE per step for all slots
+    (vmap(forward) would re-stream them per slot)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_swift_tpu.models import llama as model_lib
+
+    cache = model_lib.init_cache_batched(cfg, B)
+
+    @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
+    def batched_loop(params, tokens, n_pasts, cache, steps):
+        def body(carry, _):
+            tokens, n_pasts, cache = carry
+            logits, cache = model_lib.forward_batched(
+                params, tokens, n_pasts, cache, cfg
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, n_pasts + 1, cache), nxt
+
+        (tokens, n_pasts, cache), out = jax.lax.scan(
+            body, (tokens, n_pasts, cache), None, length=steps
+        )
+        return out, cache
+
+    def run(tokens, start, steps, cache):
+        t0 = time.perf_counter()
+        out, cache = batched_loop(
+            params, tokens, jnp.full((B,), start, jnp.int32), cache, steps
+        )
+        out = np.asarray(out)
+        return time.perf_counter() - t0, out, cache
+
+    tokens = jnp.full((B,), 7, dtype=jnp.int32)
+    lo, hi = steps, 2 * steps
+    _, out, cache = run(tokens, 0, lo, cache)
+    _, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
+    t_lo, out, cache = run(jnp.asarray(out[-1]), 0, lo, cache)
+    t_hi, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
+    t_lo2, out, cache = run(jnp.asarray(out[-1]), 0, lo, cache)
+    t_hi2, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
+    dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
+    del cache
+    return steps * B / dt
+
+
+def decode_bench(cfg, params, steps):
+    """Batch-1 greedy decode tok/s via the on-device scan loop, MARGINAL
+    timing: np.asarray forces a real host fetch — block_until_ready() does
+    not reliably block on the tunneled (axon) backend and dispatch overhead
+    is tens of ms, so tok/s = extra steps / extra time."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama_swift_tpu.models import llama as model_lib
+
+    cache = model_lib.init_cache(cfg)
+    token = jnp.asarray(7, dtype=jnp.int32)
+
+    def run(tok, start, steps, cache):
+        t0 = time.perf_counter()
+        toks, cache = model_lib.greedy_decode_loop(
+            params, tok, jnp.int32(start), cache, cfg, steps
+        )
+        toks = np.asarray(toks)
+        return time.perf_counter() - t0, toks, cache
+
+    lo, hi = steps, 2 * steps
+    # warm both scan lengths (compile), then time each twice
+    _, toks, cache = run(token, 0, lo, cache)
+    _, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
+    t_lo, toks, cache = run(jnp.asarray(toks[-1]), 0, lo, cache)
+    t_hi, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
+    t_lo2, toks, cache = run(jnp.asarray(toks[-1]), 0, lo, cache)
+    t_hi2, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
+    dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
+    del cache
+    return steps / dt
 
 
 if __name__ == "__main__":
