@@ -116,7 +116,7 @@ def params_from_tensors(
         stack_layers = True
 
     from ..ops.q4_matmul_pallas import Q4_0TensorT
-    from ..ops.q4_vpu_pallas import Q4_0TensorV
+    from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
 
     def cvt(a):
         if dense_dequant and isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
@@ -140,7 +140,21 @@ def params_from_tensors(
                 else Q4_0TensorV.from_q4_0(a)
             )
             return jax.tree_util.tree_map(jnp.asarray, a)
-        if isinstance(a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT, Q4_0TensorV)):
+        if (
+            isinstance(a, Q4_1Tensor)
+            and q4_layout == "v"
+            and a.shape[0] % 128 == 0
+        ):
+            in_dim = a.shape[1]
+            in_pad = (in_dim + 4095) // 4096 * 4096
+            if in_pad != in_dim:
+                a = _pad_weight(a, in_to=in_pad)
+            return jax.tree_util.tree_map(
+                jnp.asarray, Q4_1TensorV.from_q4_1(a)
+            )
+        if isinstance(
+            a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT, Q4_0TensorV, Q4_1TensorV)
+        ):
             return jax.tree_util.tree_map(jnp.asarray, a)
         # keep device arrays on device (no host round trip)
         if a.ndim == 1:
@@ -215,9 +229,9 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
     result is bit-identical on the original span.
     """
     from ..ops.q4_matmul_pallas import Q4_0TensorT
-    from ..ops.q4_vpu_pallas import Q4_0TensorV
+    from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
 
-    if isinstance(a, (Q4_0TensorT, Q4_0TensorV)):
+    if isinstance(a, (Q4_0TensorT, Q4_0TensorV, Q4_1TensorV)):
         rows, cols = a.shape
         if (out_to or rows) <= rows and (in_to or cols) <= cols:
             return a  # already at/above target (e.g. kernel in-dim padding)
@@ -262,7 +276,7 @@ def _concat_out(parts: list):
     numpy inputs concatenate on host.
     """
     from ..ops.q4_matmul_pallas import Q4_0TensorT
-    from ..ops.q4_vpu_pallas import Q4_0TensorV
+    from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
 
     def cat(leaves, axis=0):
         if any(isinstance(l, jnp.ndarray) for l in leaves):
@@ -290,6 +304,11 @@ def _concat_out(parts: list):
         # VPU layout [out/128, 128, in/8]: out is axes 0+1, tile-aligned
         return Q4_0TensorV(
             scales_v=cat([p.scales_v for p in parts], axis=0),
+            qs4v=cat([p.qs4v for p in parts], axis=0),
+        )
+    if isinstance(parts[0], Q4_1TensorV):
+        return Q4_1TensorV(
+            sm_v=cat([p.sm_v for p in parts], axis=0),
             qs4v=cat([p.qs4v for p in parts], axis=0),
         )
     return cat(list(parts))
@@ -569,13 +588,13 @@ def forward(
         # would materialize weight-sized copies; instead the kernels index
         # the stacked buffer directly (StackedQ4Ref / StackedQ4VRef).
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
-        from ..ops.q4_vpu_pallas import Q4_0TensorV, StackedQ4VRef
+        from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
         stacked = params["layers_stacked"]
         q4_keys = [
             k
             for k, v in stacked.items()
-            if isinstance(v, (Q4_0TensorT, Q4_0TensorV))
+            if isinstance(v, (Q4_0TensorT, Q4_0TensorV, Q4_1TensorV))
         ]
 
         def layer_at(il):
@@ -584,7 +603,7 @@ def forward(
                 if k in q4_keys:
                     ref = (
                         StackedQ4VRef
-                        if isinstance(v, Q4_0TensorV)
+                        if isinstance(v, (Q4_0TensorV, Q4_1TensorV))
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
@@ -605,7 +624,7 @@ def forward(
                 for k in q4_keys:
                     ref = (
                         StackedQ4VRef
-                        if isinstance(stacked[k], Q4_0TensorV)
+                        if isinstance(stacked[k], (Q4_0TensorV, Q4_1TensorV))
                         else StackedQ4Ref
                     )
                     layer[k] = ref(stacked[k], il)
@@ -794,12 +813,12 @@ def forward_batched(
 
     if "layers_stacked" in params:
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
-        from ..ops.q4_vpu_pallas import Q4_0TensorV, StackedQ4VRef
+        from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
         stacked = params["layers_stacked"]
         q4_keys = [
             k for k, v in stacked.items()
-            if isinstance(v, (Q4_0TensorT, Q4_0TensorV))
+            if isinstance(v, (Q4_0TensorT, Q4_0TensorV, Q4_1TensorV))
         ]
         def layer_at(il):
             layer = {}
@@ -807,7 +826,7 @@ def forward_batched(
                 if k in q4_keys:
                     ref = (
                         StackedQ4VRef
-                        if isinstance(v, Q4_0TensorV)
+                        if isinstance(v, (Q4_0TensorV, Q4_1TensorV))
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
@@ -825,7 +844,7 @@ def forward_batched(
                 for k in q4_keys:
                     ref = (
                         StackedQ4VRef
-                        if isinstance(stacked[k], Q4_0TensorV)
+                        if isinstance(stacked[k], (Q4_0TensorV, Q4_1TensorV))
                         else StackedQ4Ref
                     )
                     layer[k] = ref(stacked[k], il)

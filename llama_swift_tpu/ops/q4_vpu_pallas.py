@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import QK
-from ..formats.quant import Q4_0Tensor
+from ..formats.quant import Q4_0Tensor, Q4_1Tensor
 from .q4_matmul_pallas import quantize_activations_q4_0_int
 
 PHASES = 8
@@ -57,6 +57,36 @@ IN_ALIGN = 4096  # in-dim padding unit: in/32 block-lanes stay 128-aligned
 
 _MASKS = [0xF << (4 * p) for p in range(7)]  # phases 0-6; phase 7 shifts
 _XSCALE = [float(16.0 ** -p) for p in range(7)] + [1.0]
+
+
+def _pack_qs_v(qs: np.ndarray) -> np.ndarray:
+    """u8 nibble bytes [out, in/2] → group-major i32 lanes
+    [out/128, 128, in/8] (lane g·nb + b = u32 #g of block b)."""
+    out, kh = qs.shape
+    assert out % OUT_TILE == 0, f"out dim {out} not a multiple of {OUT_TILE}"
+    assert kh % 4 == 0, kh
+    qs4 = qs.reshape(out, kh // 4, 4)
+    qs4 = (
+        qs4[:, :, 0].astype(np.uint32)
+        | (qs4[:, :, 1].astype(np.uint32) << 8)
+        | (qs4[:, :, 2].astype(np.uint32) << 16)
+        | (qs4[:, :, 3].astype(np.uint32) << 24)
+    ).view(np.int32)
+    nb = kh // 16
+    qs4 = qs4.reshape(out, nb, 4).transpose(0, 2, 1).reshape(out, nb * 4)
+    return np.ascontiguousarray(qs4.reshape(out // OUT_TILE, OUT_TILE, -1))
+
+
+def _unpack_qs_v(qs4v: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_pack_qs_v` → u8 [out, in/2]."""
+    qs4 = np.asarray(qs4v).view(np.uint32)
+    ot, lt, kh4 = qs4.shape
+    nb = kh4 // 4
+    qs4 = qs4.reshape(ot * lt, 4, nb).transpose(0, 2, 1).reshape(ot * lt, kh4)
+    qs = np.empty((ot * lt, kh4, 4), dtype=np.uint8)
+    for b in range(4):
+        qs[:, :, b] = ((qs4 >> (8 * b)) & 0xFF).astype(np.uint8)
+    return qs.reshape(ot * lt, kh4 * 4)
 
 
 @dataclasses.dataclass
@@ -78,40 +108,59 @@ class Q4_0TensorV:
 
     @classmethod
     def from_q4_0(cls, w: Q4_0Tensor) -> "Q4_0TensorV":
-        qs = np.asarray(w.qs)  # u8 [out, in/2]
         scales = np.asarray(w.scales).astype(np.float32)  # [out, in/32]
-        out, kh = qs.shape
-        assert out % OUT_TILE == 0, f"out dim {out} not a multiple of {OUT_TILE}"
-        assert kh % 4 == 0, kh
-        qs4 = qs.reshape(out, kh // 4, 4)
-        qs4 = (
-            qs4[:, :, 0].astype(np.uint32)
-            | (qs4[:, :, 1].astype(np.uint32) << 8)
-            | (qs4[:, :, 2].astype(np.uint32) << 16)
-            | (qs4[:, :, 3].astype(np.uint32) << 24)
-        ).view(np.int32)
-        # group-major lane order: lane g·nb + b = u32 #g of block b
-        nb = kh // 16
-        qs4 = qs4.reshape(out, nb, 4).transpose(0, 2, 1).reshape(out, nb * 4)
-        ot = out // OUT_TILE
+        ot = scales.shape[0] // OUT_TILE
         return cls(
             scales_v=np.ascontiguousarray(scales.reshape(ot, OUT_TILE, -1)),
-            qs4v=np.ascontiguousarray(qs4.reshape(ot, OUT_TILE, -1)),
+            qs4v=_pack_qs_v(np.asarray(w.qs)),
         )
 
     def to_q4_0(self) -> Q4_0Tensor:
-        qs4 = np.asarray(self.qs4v).view(np.uint32)
-        ot, lt, kh4 = qs4.shape
-        nb = kh4 // 4
-        qs4 = (
-            qs4.reshape(ot * lt, 4, nb).transpose(0, 2, 1).reshape(ot * lt, kh4)
-        )
-        qs = np.empty((ot * lt, kh4, 4), dtype=np.uint8)
-        for b in range(4):
-            qs[:, :, b] = ((qs4 >> (8 * b)) & 0xFF).astype(np.uint8)
+        ot, lt, _ = np.asarray(self.qs4v).shape
         return Q4_0Tensor(
             scales=np.asarray(self.scales_v).reshape(ot * lt, -1),
-            qs=qs.reshape(ot * lt, kh4 * 4),
+            qs=_unpack_qs_v(self.qs4v),
+        )
+
+
+@dataclasses.dataclass
+class Q4_1TensorV:
+    """Q4_1 weight in the VPU-matvec device layout (min/delta affine blocks,
+    ``ggml.c:2040`` / ``utils.cpp:487-544``).
+
+    ``qs4v`` packs nibbles exactly like :class:`Q4_0TensorV`; ``sm_v`` f32
+    [out/128, 128, 2·in/32] carries per-block delta in lanes [0, nb) and min
+    in lanes [nb, 2nb) — ONE DMA streams both.  The matvec kernel computes
+    ``y = Σ_b d_b·Σ(n·x̂) + m_b·Σx̂`` per block, algebraically the reference's
+    f32 dequant-dot (``ggml_vec_dot_q4_1``, ``ggml.c:1584-1626``).
+    """
+
+    sm_v: jnp.ndarray
+    qs4v: jnp.ndarray
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.qs4v.shape[0] * OUT_TILE, self.qs4v.shape[2] * PHASES)
+
+    @classmethod
+    def from_q4_1(cls, w: Q4_1Tensor) -> "Q4_1TensorV":
+        scales = np.asarray(w.scales).astype(np.float32)  # [out, nb]
+        mins = np.asarray(w.mins).astype(np.float32)
+        out = scales.shape[0]
+        ot = out // OUT_TILE
+        sm = np.concatenate([scales, mins], axis=1)  # [out, 2nb]
+        return cls(
+            sm_v=np.ascontiguousarray(sm.reshape(ot, OUT_TILE, -1)),
+            qs4v=_pack_qs_v(np.asarray(w.qs)),
+        )
+
+    def to_q4_1(self) -> Q4_1Tensor:
+        sm = np.asarray(self.sm_v)
+        ot, lt, nb2 = sm.shape
+        nb = nb2 // 2
+        sm = sm.reshape(ot * lt, nb2)
+        return Q4_1Tensor(
+            mins=sm[:, nb:], scales=sm[:, :nb], qs=_unpack_qs_v(self.qs4v)
         )
 
 
@@ -120,26 +169,48 @@ jax.tree_util.register_pytree_node(
     lambda t: ((t.scales_v, t.qs4v), None),
     lambda _, leaves: Q4_0TensorV(*leaves),
 )
+jax.tree_util.register_pytree_node(
+    Q4_1TensorV,
+    lambda t: ((t.sm_v, t.qs4v), None),
+    lambda _, leaves: Q4_1TensorV(*leaves),
+)
 
 
-def dequantize_q4_0v_jnp(w: Q4_0TensorV, dtype=jnp.float32) -> jnp.ndarray:
-    """Dense [out, in] from the V layout (prefill / fallback path)."""
-    qs4 = jnp.asarray(w.qs4v).view(jnp.uint32)  # [ot, 128, kh4]
-    scales = jnp.asarray(w.scales_v).astype(jnp.float32)  # [ot, 128, nb]
+def _nibbles_v_jnp(qs4v) -> jnp.ndarray:
+    """[ot, 128, kh4] packed lanes → f32 nibble values [ot, 128, in] in
+    logical element order (undoes the group-major lane permutation)."""
+    qs4 = jnp.asarray(qs4v).view(jnp.uint32)  # [ot, 128, kh4]
     ot, lt, kh4 = qs4.shape
     nb = kh4 // 4
     qs4 = qs4.reshape(ot, lt, 4, nb).transpose(0, 1, 3, 2)  # undo group-major
     vals = jnp.stack(
         [
             ((qs4 >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(jnp.float32)
-            - 8.0
             for p in range(PHASES)
         ],
         axis=-1,
     )  # [ot, 128, nb, 4, 8]; element index = 32b + 8g + p
-    in_dim = kh4 * PHASES
+    return vals.reshape(ot, lt, kh4 * PHASES)
+
+
+def dequantize_q4_0v_jnp(w: Q4_0TensorV, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense [out, in] from the V layout (prefill / fallback path)."""
+    vals = _nibbles_v_jnp(w.qs4v) - 8.0
+    scales = jnp.asarray(w.scales_v).astype(jnp.float32)  # [ot, 128, nb]
+    ot, lt, in_dim = vals.shape
     s = jnp.repeat(scales, QK, axis=2).reshape(ot, lt, in_dim)
-    return (vals.reshape(ot, lt, in_dim) * s).reshape(ot * lt, in_dim).astype(dtype)
+    return (vals * s).reshape(ot * lt, in_dim).astype(dtype)
+
+
+def dequantize_q4_1v_jnp(w: Q4_1TensorV, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense [out, in] from the Q4_1 V layout: ``n·d + m`` per block."""
+    vals = _nibbles_v_jnp(w.qs4v)
+    sm = jnp.asarray(w.sm_v).astype(jnp.float32)  # [ot, 128, 2nb]
+    ot, lt, in_dim = vals.shape
+    nb = in_dim // QK
+    d = jnp.repeat(sm[:, :, :nb], QK, axis=2).reshape(ot, lt, in_dim)
+    m = jnp.repeat(sm[:, :, nb:], QK, axis=2).reshape(ot, lt, in_dim)
+    return (vals * d + m).reshape(ot * lt, in_dim).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +244,35 @@ def _vpu_core(xl, xr_ref, aux_ref, scales):
     return jnp.sum((accb - aux_ref[1:2, :]) * s_eff, axis=1, keepdims=True)
 
 
+def _acc_blocks(xl, xr_ref):
+    """Phase MACs + per-block reduction shared by Q4_0/Q4_1 cores: returns
+    accb [128, NB] = Σ_block nibble·x̂ (exact small-int arithmetic when the
+    activations are integers)."""
+    kh4 = xl.shape[1]
+    nb = kh4 // 4
+    acc = (xl & _MASKS[0]).astype(jnp.float32) * xr_ref[0:1, :]
+    for p in range(1, 7):
+        acc = acc + (xl & _MASKS[p]).astype(jnp.float32) * xr_ref[p : p + 1, :]
+    top = jax.lax.shift_right_logical(xl, 28)
+    acc = acc + top.astype(jnp.float32) * xr_ref[7:8, :]
+    return (
+        acc[:, 0 * nb : 1 * nb]
+        + acc[:, 1 * nb : 2 * nb]
+        + acc[:, 2 * nb : 3 * nb]
+        + acc[:, 3 * nb : 4 * nb]
+    )  # [128, NB]
+
+
+def _vpu_core_q41(xl, xr_ref, aux_ref, sm):
+    """Q4_1 tile core.  sm: f32 [128, 2·NB] (delta lanes then min lanes);
+    aux row 0: per-block Σx̂.  y_b = d_b·Σ(n·x̂) + m_b·Σx̂."""
+    accb = _acc_blocks(xl, xr_ref)
+    nb = accb.shape[1]
+    d = sm[:, :nb]
+    m = sm[:, nb:]
+    return jnp.sum(accb * d + aux_ref[0:1, :] * m, axis=1, keepdims=True)
+
+
 def _q4_0_vpu_kernel(xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
     y = _vpu_core(qs4_ref[0], xr_ref, aux_ref, scales_ref[0])
     out_ref[0] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
@@ -181,6 +281,17 @@ def _q4_0_vpu_kernel(xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
 def _q4_0_vpu_kernel_stacked(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
     del il_ref  # consumed by the BlockSpec index maps
     y = _vpu_core(qs4_ref[0, 0], xr_ref, aux_ref, scales_ref[0, 0])
+    out_ref[0] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
+
+
+def _q4_1_vpu_kernel(xr_ref, aux_ref, qs4_ref, sm_ref, out_ref):
+    y = _vpu_core_q41(qs4_ref[0], xr_ref, aux_ref, sm_ref[0])
+    out_ref[0] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
+
+
+def _q4_1_vpu_kernel_stacked(il_ref, xr_ref, aux_ref, qs4_ref, sm_ref, out_ref):
+    del il_ref
+    y = _vpu_core_q41(qs4_ref[0, 0], xr_ref, aux_ref, sm_ref[0, 0])
     out_ref[0] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
 
 
@@ -200,11 +311,13 @@ NBUF = 6
 
 
 def _manual_stream_loop(
-    idx, steps, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem
+    idx, steps, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem,
+    ssem, core=_vpu_core,
 ):
     """Shared ring-buffered stream loop: for j in [0, steps): DMA the j-th
     weight tile (index ``idx(j)`` into the HBM refs) into slot j%NBUF,
     overlap with the phase-MAC compute of tile j-(NBUF-1), write y tile j.
+    ``core`` is the per-tile math (Q4_0 scale-only or Q4_1 delta+min).
     """
 
     def qdma(slot, j):
@@ -235,7 +348,7 @@ def _manual_stream_loop(
 
         qdma(slot, j).wait()
         sdma(slot, j).wait()
-        y = _vpu_core(qbuf[slot], xr_ref, aux_ref, sbuf[slot])
+        y = core(qbuf[slot], xr_ref, aux_ref, sbuf[slot])
         out_ref[j] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
         return ()
 
@@ -258,6 +371,25 @@ def _q4_0_vpu_kernel_manual_stacked(
     _manual_stream_loop(
         lambda j: (il, j), qs4_hbm.shape[1], xr_ref, aux_ref, qs4_hbm, sc_hbm,
         out_ref, qbuf, sbuf, qsem, ssem,
+    )
+
+
+def _q4_1_vpu_kernel_manual(
+    xr_ref, aux_ref, qs4_hbm, sm_hbm, out_ref, qbuf, sbuf, qsem, ssem
+):
+    _manual_stream_loop(
+        lambda j: (j,), qs4_hbm.shape[0], xr_ref, aux_ref, qs4_hbm, sm_hbm,
+        out_ref, qbuf, sbuf, qsem, ssem, core=_vpu_core_q41,
+    )
+
+
+def _q4_1_vpu_kernel_manual_stacked(
+    il_ref, xr_ref, aux_ref, qs4_hbm, sm_hbm, out_ref, qbuf, sbuf, qsem, ssem
+):
+    il = il_ref[0]
+    _manual_stream_loop(
+        lambda j: (il, j), qs4_hbm.shape[1], xr_ref, aux_ref, qs4_hbm, sm_hbm,
+        out_ref, qbuf, sbuf, qsem, ssem, core=_vpu_core_q41,
     )
 
 
@@ -382,14 +514,161 @@ def _q4_0_vpu_call_stacked(layer_idx, xr, aux, qs4v, scales_v, *, interpret=Fals
     return out[:, :, 0].reshape(ot * lt)
 
 
+def _prep_inputs_q41(x2: jnp.ndarray, kh4: int, quantize_acts: bool):
+    """x2 f32 [1, in] → (xr [8, kh4] phase-major·16^-p of x̂, aux [2, nb]
+    with row 0 = per-block Σx̂).  x̂ is the q4_1 fake-quantized activation
+    when ``quantize_acts`` (the reference's q4_1 matmul quantizes
+    activations to q4_1 as well, ``ggml.c:6287+``)."""
+    from .quantized_matmul import fake_quantize_q4_1
+
+    in_dim = kh4 * PHASES
+    nb = in_dim // QK
+    xh = x2[0].astype(jnp.float32)
+    if quantize_acts:
+        xh = fake_quantize_q4_1(xh[None])[0]
+    xsc = jnp.asarray(_XSCALE, jnp.float32)
+    xr = xh.reshape(nb, 4, PHASES).transpose(2, 1, 0).reshape(PHASES, kh4)
+    xr = xr * xsc[:, None]
+    sx = xh.reshape(nb, QK).sum(axis=1)  # Σ_block x̂ (for the min term)
+    aux = jnp.stack([sx, jnp.zeros_like(sx)])  # [2, nb]
+    return xr, aux
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_1_vpu_call(xr, aux, qs4v, sm_v, *, interpret=False):
+    ot, lt, kh4 = qs4v.shape
+    nb2 = sm_v.shape[2]
+    if interpret:
+        out = pl.pallas_call(
+            _q4_1_vpu_kernel,
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((PHASES, kh4), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, nb2 // 2), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lt, kh4), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lt, nb2), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, lt, OUT_LANES), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+            interpret=True,
+        )(xr, aux, qs4v, sm_v)
+        return out[:, :, 0].reshape(ot * lt)
+    out = pl.pallas_call(
+        _q4_1_vpu_kernel_manual,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+        scratch_shapes=_manual_scratch(lt, kh4, nb2),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ot * lt * kh4 * PHASES,
+            bytes_accessed=ot * lt * (kh4 + nb2) * 4,
+            transcendentals=0,
+        ),
+    )(xr, aux, qs4v, sm_v)
+    return out[:, :, 0].reshape(ot * lt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_1_vpu_call_stacked(layer_idx, xr, aux, qs4v, sm_v, *, interpret=False):
+    L, ot, lt, kh4 = qs4v.shape
+    nb2 = sm_v.shape[3]
+    if interpret:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((PHASES, kh4), lambda j, il: (0, 0)),
+                pl.BlockSpec((2, nb2 // 2), lambda j, il: (0, 0)),
+                pl.BlockSpec((1, 1, lt, kh4), lambda j, il: (il[0], j, 0, 0)),
+                pl.BlockSpec((1, 1, lt, nb2), lambda j, il: (il[0], j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, lt, OUT_LANES), lambda j, il: (j, 0, 0)),
+        )
+        out = pl.pallas_call(
+            _q4_1_vpu_kernel_stacked,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+            interpret=True,
+        )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, sm_v)
+        return out[:, :, 0].reshape(ot * lt)
+    out = pl.pallas_call(
+        _q4_1_vpu_kernel_manual_stacked,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ot, lt, OUT_LANES), jnp.float32),
+        scratch_shapes=_manual_scratch(lt, kh4, nb2),
+    )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, sm_v)
+    return out[:, :, 0].reshape(ot * lt)
+
+
+def q4_1_vpu_matvec(
+    x: jnp.ndarray,
+    w: Q4_1TensorV,
+    *,
+    quantize_acts: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Q4_1 single-row matvec streaming packed nibbles + delta/min lanes at
+    HBM rate — the 6.0-bit analogue of :func:`q4_0_vpu_matvec`."""
+    qs4v = jnp.asarray(w.qs4v)
+    sm_v = jnp.asarray(w.sm_v)
+    ot, lt, kh4 = qs4v.shape
+    lead = x.shape[:-1]
+    assert int(np.prod(lead)) == 1 if lead else True, "matvec kernel: 1 row"
+    x2 = _pad_x(x.reshape(1, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+    xr, aux = _prep_inputs_q41(x2, kh4, quantize_acts)
+    y = _q4_1_vpu_call(xr, aux, qs4v, sm_v, interpret=interpret)
+    return y.reshape(*lead, ot * lt).astype(compute_dtype)
+
+
+def q4_1_vpu_matvec_stacked(
+    x: jnp.ndarray,
+    w: Q4_1TensorV,
+    layer_idx,
+    *,
+    quantize_acts: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    qs4v = jnp.asarray(w.qs4v)
+    sm_v = jnp.asarray(w.sm_v)
+    L, ot, lt, kh4 = qs4v.shape
+    lead = x.shape[:-1]
+    assert int(np.prod(lead)) == 1 if lead else True, "matvec kernel: 1 row"
+    x2 = _pad_x(x.reshape(1, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+    xr, aux = _prep_inputs_q41(x2, kh4, quantize_acts)
+    y = _q4_1_vpu_call_stacked(layer_idx, xr, aux, qs4v, sm_v, interpret=interpret)
+    return y.reshape(*lead, ot * lt).astype(compute_dtype)
+
+
 @dataclasses.dataclass
 class StackedQ4VRef:
-    """Stacked V-layout weights + traced layer index (scan-over-layers)."""
+    """Stacked V-layout weights (Q4_0 or Q4_1) + traced layer index
+    (scan-over-layers)."""
 
-    w: Q4_0TensorV  # leaves have a leading [L] axis
+    w: object  # Q4_0TensorV | Q4_1TensorV; leaves have a leading [L] axis
     layer_idx: object
 
-    def at_layer(self) -> Q4_0TensorV:
+    def at_layer(self):
+        if isinstance(self.w, Q4_1TensorV):
+            return Q4_1TensorV(
+                sm_v=jnp.asarray(self.w.sm_v)[self.layer_idx],
+                qs4v=jnp.asarray(self.w.qs4v)[self.layer_idx],
+            )
         return Q4_0TensorV(
             scales_v=jnp.asarray(self.w.scales_v)[self.layer_idx],
             qs4v=jnp.asarray(self.w.qs4v)[self.layer_idx],

@@ -149,17 +149,26 @@ def linear(
     )
     from .q4_vpu_pallas import (
         Q4_0TensorV,
+        Q4_1TensorV,
         StackedQ4VRef,
         dequantize_q4_0v_jnp,
+        dequantize_q4_1v_jnp,
         q4_0_vpu_matvec,
         q4_0_vpu_matvec_stacked,
+        q4_1_vpu_matvec,
+        q4_1_vpu_matvec_stacked,
     )
 
     if isinstance(w, StackedQ4VRef):
         use_pallas, interp = _kernel_mode(prefer_pallas)
         n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         if use_pallas and n_rows == 1:
-            return q4_0_vpu_matvec_stacked(
+            mv = (
+                q4_1_vpu_matvec_stacked
+                if isinstance(w.w, Q4_1TensorV)
+                else q4_0_vpu_matvec_stacked
+            )
+            return mv(
                 x, w.w, w.layer_idx,
                 quantize_acts=quantize_activations, compute_dtype=compute_dtype,
                 interpret=interp,
@@ -169,20 +178,22 @@ def linear(
             compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
         )
 
-    if isinstance(w, Q4_0TensorV):
+    if isinstance(w, (Q4_0TensorV, Q4_1TensorV)):
+        is_q41 = isinstance(w, Q4_1TensorV)
         use_pallas, interp = _kernel_mode(prefer_pallas)
         n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         if use_pallas and n_rows == 1:
             # batch-1 decode: the VPU matvec kernel streams packed nibbles
             # at HBM rate (exact reference int4-dot semantics when
             # quantize_activations)
-            return q4_0_vpu_matvec(
+            mv = q4_1_vpu_matvec if is_q41 else q4_0_vpu_matvec
+            return mv(
                 x, w, quantize_acts=quantize_activations,
                 compute_dtype=compute_dtype, interpret=interp,
             )
         # prefill / batched rows: dense-dequant matmul (compute-bound)
         if quantize_activations:
-            x = fake_quantize_q4_0(x)
+            x = fake_quantize_q4_1(x) if is_q41 else fake_quantize_q4_0(x)
         from .q4_vpu_pallas import _pad_x
 
         lead = x.shape[:-1]
@@ -191,7 +202,11 @@ def linear(
             x.reshape(n_rows, x.shape[-1]).astype(compute_dtype),
             w.qs4v.shape[2] * 8,
         )
-        wd = dequantize_q4_0v_jnp(w, dtype=compute_dtype)
+        wd = (
+            dequantize_q4_1v_jnp(w, dtype=compute_dtype)
+            if is_q41
+            else dequantize_q4_0v_jnp(w, dtype=compute_dtype)
+        )
         y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
         return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
 
@@ -295,7 +310,30 @@ def embedding_lookup(
     """``ggml_get_rows`` equivalent (``ggml.c:6760-6920``): rows of the
     (possibly quantized) embedding table, dequantized to f32 per row."""
     from .q4_matmul_pallas import LANE_TILE, Q4_0TensorT
-    from .q4_vpu_pallas import Q4_0TensorV
+    from .q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
+
+    if isinstance(w, Q4_1TensorV):
+        # V layout row gather + affine dequant (n·d + m per block)
+        ot_idx = tokens // 128
+        sub_idx = tokens % 128
+        qs4_rows = jnp.asarray(w.qs4v)[ot_idx, sub_idx, :].view(jnp.uint32)
+        sm_rows = jnp.asarray(w.sm_v)[ot_idx, sub_idx, :]  # [N, 2nb]
+        n, kh4 = qs4_rows.shape
+        nb = kh4 // 4
+        qs4_rows = qs4_rows.reshape(n, 4, nb).transpose(0, 2, 1)  # [N, nb, 4]
+        vals = jnp.stack(
+            [
+                ((qs4_rows >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(
+                    jnp.float32
+                )
+                for p in range(8)
+            ],
+            axis=-1,
+        )  # [N, nb, 4, 8]; element index = 32b + 8g + p
+        vals = vals.reshape(n, nb, 32)
+        d = sm_rows[:, :nb, None]
+        m = sm_rows[:, nb:, None]
+        return (vals * d + m).reshape(n, nb * 32).astype(compute_dtype)
 
     if isinstance(w, Q4_0TensorV):
         # V layout [out/128, 128, in/8]: row r at (r//128, r%128, :), lanes

@@ -69,7 +69,7 @@ def _wrap_quant(spec: P, w: Any, stacked: bool = False) -> Any:
     Transposed (contraction-major) Q4 layouts swap the spec axes; ``stacked``
     prepends a replicated layer axis (scan-over-layers param layout)."""
     from ..ops.q4_matmul_pallas import Q4_0TensorT
-    from ..ops.q4_vpu_pallas import Q4_0TensorV
+    from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
 
     def lift(s: P) -> P:
         return P(None, *tuple(s)) if stacked else s
@@ -100,6 +100,12 @@ def _wrap_quant(spec: P, w: Any, stacked: bool = False) -> Any:
         else:
             vspec = P(None, None, None)
         return Q4_0TensorV(scales_v=lift(vspec), qs4v=lift(vspec))
+    if isinstance(w, Q4_1TensorV):
+        if spec == ROW_PARALLEL:
+            vspec = P("tp", None, None)
+        else:
+            vspec = P(None, None, None)
+        return Q4_1TensorV(sm_v=lift(vspec), qs4v=lift(vspec))
     return lift(spec)
 
 

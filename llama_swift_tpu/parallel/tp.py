@@ -56,10 +56,12 @@ from ..ops.rope import rope
 #: [out, in]-style leaves: out axis sharded (axis 0 of every packed layout)
 def _out_spec(w):
     from ..ops.q4_matmul_pallas import Q4_0TensorT
-    from ..ops.q4_vpu_pallas import Q4_0TensorV
+    from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
 
     if isinstance(w, Q4_0TensorV):
         return Q4_0TensorV(scales_v=P("tp", None, None), qs4v=P("tp", None, None))
+    if isinstance(w, Q4_1TensorV):
+        return Q4_1TensorV(sm_v=P("tp", None, None), qs4v=P("tp", None, None))
     if isinstance(w, Q4_0TensorT):
         return Q4_0TensorT(scales_t=P("tp", None, None), qs4=P("tp", None, None))
     from ..formats.quant import Q4_0Tensor, Q4_1Tensor
@@ -198,14 +200,14 @@ def _local_forward(params, tokens, n_past, cache, cfg: ModelConfig, tp: int):
 
     if "layers_stacked" in params:
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
-        from ..ops.q4_vpu_pallas import Q4_0TensorV, StackedQ4VRef
+        from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
         stacked = params["layers_stacked"]
 
         def layer_at(il):
             layer = {}
             for k, v in stacked.items():
-                if isinstance(v, Q4_0TensorV):
+                if isinstance(v, (Q4_0TensorV, Q4_1TensorV)):
                     layer[k] = StackedQ4VRef(v, il)
                 elif isinstance(v, Q4_0TensorT):
                     layer[k] = StackedQ4Ref(v, il)

@@ -181,3 +181,136 @@ def test_model_forward_v_layout_matches_rowmajor():
     np.testing.assert_allclose(
         np.asarray(l_row), np.asarray(l_v), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4_1 V-layout kernel (the 6.0-bit streaming path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def w41():
+    from llama_swift_tpu.formats.quant import Q4_1Tensor
+
+    rng = np.random.default_rng(3)
+    return Q4_1Tensor.quantize(
+        (rng.standard_normal((256, 1024)) * 0.05 + 0.01).astype(np.float32)
+    )
+
+
+def test_q4_1_v_roundtrip(w41):
+    from llama_swift_tpu.ops.q4_vpu_pallas import Q4_1TensorV
+
+    v = Q4_1TensorV.from_q4_1(w41)
+    back = v.to_q4_1()
+    np.testing.assert_array_equal(np.asarray(back.scales), np.asarray(w41.scales))
+    np.testing.assert_array_equal(np.asarray(back.mins), np.asarray(w41.mins))
+    np.testing.assert_array_equal(np.asarray(back.qs), np.asarray(w41.qs))
+
+
+def test_q4_1_v_dequant_matches_row_dequant(w41):
+    from llama_swift_tpu.ops.q4_vpu_pallas import Q4_1TensorV, dequantize_q4_1v_jnp
+
+    v = Q4_1TensorV.from_q4_1(w41)
+    np.testing.assert_allclose(
+        np.asarray(dequantize_q4_1v_jnp(v)), w41.dequantize(), rtol=1e-6, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("quantize_acts", [False, True])
+def test_q4_1_vpu_matvec_matches_linear(w41, quantize_acts):
+    """Kernel vs the row-major jnp path (dense dequant dot, same activation
+    fake-quant) — the q4_1 analogue of the q4_0 kernel parity test."""
+    from llama_swift_tpu.ops import quantized_matmul as qmm
+    from llama_swift_tpu.ops.q4_vpu_pallas import Q4_1TensorV, q4_1_vpu_matvec
+
+    v = Q4_1TensorV.from_q4_1(w41)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 1024)).astype(np.float32)
+    y = q4_1_vpu_matvec(
+        jnp.asarray(x), v, quantize_acts=quantize_acts, interpret=True
+    )
+    y_ref = qmm.linear(
+        jnp.asarray(x), w41, quantize_activations=quantize_acts
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_q4_1_vpu_matvec_stacked(w41):
+    from llama_swift_tpu.formats.quant import Q4_1Tensor
+    from llama_swift_tpu.ops import quantized_matmul as qmm
+    from llama_swift_tpu.ops.q4_vpu_pallas import (
+        Q4_1TensorV,
+        q4_1_vpu_matvec_stacked,
+    )
+
+    rng = np.random.default_rng(13)
+    ws = [w41, Q4_1Tensor.quantize(
+        (rng.standard_normal((256, 1024)) * 0.04 - 0.02).astype(np.float32)
+    )]
+    vs = [Q4_1TensorV.from_q4_1(w) for w in ws]
+    stacked = Q4_1TensorV(
+        sm_v=jnp.stack([jnp.asarray(v.sm_v) for v in vs]),
+        qs4v=jnp.stack([jnp.asarray(v.qs4v) for v in vs]),
+    )
+    x = rng.standard_normal((1, 1024)).astype(np.float32)
+    for il in range(2):
+        y = q4_1_vpu_matvec_stacked(
+            jnp.asarray(x), stacked, jnp.int32(il), interpret=True
+        )
+        y_ref = qmm.linear(jnp.asarray(x), ws[il])
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_q4_1_v_embedding_lookup(w41):
+    from llama_swift_tpu.ops import quantized_matmul as qmm
+    from llama_swift_tpu.ops.q4_vpu_pallas import Q4_1TensorV
+
+    v = Q4_1TensorV.from_q4_1(w41)
+    ids = jnp.asarray([0, 7, 129, 255], jnp.int32)
+    e_v = qmm.embedding_lookup(ids, v)
+    e_row = qmm.embedding_lookup(ids, w41)
+    np.testing.assert_allclose(
+        np.asarray(e_v), np.asarray(e_row), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_model_forward_q4_1_v_matches_rowmajor(tiny_cfg, tiny_tensors):
+    """Whole model with Q4_1 V-layout params == row-major Q4_1 params, and
+    the decode step routes through the fused kernel when forced."""
+    from llama_swift_tpu.config import ModelConfig
+    from llama_swift_tpu.formats.quant import Q4_1Tensor
+    from llama_swift_tpu.models import llama as model_lib
+    from llama_swift_tpu.ops import quantized_matmul as qmm
+
+    cfg = ModelConfig.tiny(n_ctx=32, n_embd=128, n_head=1, n_rot=128,
+                           n_vocab=256, n_mult=64, n_layer=2)
+    tensors = model_lib.random_params(cfg, seed=9)
+    qt = {
+        k: (Q4_1Tensor.quantize(v) if v.ndim == 2 else v)
+        for k, v in tensors.items()
+    }
+    p_row = model_lib.params_from_tensors(qt, cfg, param_dtype=jnp.float32,
+                                          q4_layout="none")
+    p_v = model_lib.params_from_tensors(qt, cfg, param_dtype=jnp.float32,
+                                        q4_layout="v")
+    tokens = jnp.asarray([1, 5, 9], jnp.int32)
+    l_row, c_row = model_lib.prefill(p_row, tokens, jnp.int32(0),
+                                     model_lib.init_cache(cfg), cfg)
+    l_v, c_v = model_lib.prefill(p_v, tokens, jnp.int32(0),
+                                 model_lib.init_cache(cfg), cfg)
+    np.testing.assert_allclose(np.asarray(l_row), np.asarray(l_v),
+                               rtol=2e-4, atol=2e-4)
+    # decode step through the interpret-mode kernel dispatch
+    qmm.FORCE_PALLAS_INTERPRET = True
+    try:
+        d_v, _ = model_lib.decode_step(p_v, jnp.int32(7), jnp.int32(3), c_v, cfg)
+    finally:
+        qmm.FORCE_PALLAS_INTERPRET = False
+    d_row, _ = model_lib.decode_step(p_row, jnp.int32(7), jnp.int32(3), c_row, cfg)
+    np.testing.assert_allclose(np.asarray(d_v), np.asarray(d_row),
+                               rtol=2e-4, atol=2e-4)
