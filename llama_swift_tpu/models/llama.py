@@ -539,10 +539,15 @@ def forward(
         else:
             cl = cache_write_full(cl, "k", k, il)
             cl = cache_write_full(cl, "v", v, il)
-        if cfg.use_flash_decode and N == 1 and slot is None and "k_scale" not in cl:
+        use_flash = (
+            cfg.use_flash_decode and N == 1 and slot is None
+            and ("k_scale" not in cl or il is not None)
+        )
+        if use_flash:
             from ..ops.attention import (
                 flash_decode_attention,
                 flash_decode_attention_stacked,
+                flash_decode_attention_stacked_int8,
             )
 
             # fine-grained chunks bound KV reads by the n_past high-water
@@ -552,6 +557,13 @@ def forward(
             if il is None:
                 ctx = flash_decode_attention(
                     q[0], cl["k"], cl["v"], n_past, chunk=chunk
+                )[None].astype(compute_dtype)
+            elif "k_scale" in cl:
+                # int8 cache: scales applied inside the kernel — the cache
+                # streams at 1 B/elem, no dense dequant pass
+                ctx = flash_decode_attention_stacked_int8(
+                    q[0], cl["k"], cl["v"], cl["k_scale"], cl["v_scale"],
+                    il, n_past, chunk=chunk,
                 )[None].astype(compute_dtype)
             else:
                 ctx = flash_decode_attention_stacked(

@@ -122,3 +122,59 @@ def test_model_decode_with_flash_flag(tiny_cfg, tiny_tensors):
         )
         outs[name] = np.asarray(logits)
     np.testing.assert_allclose(outs["flash"], outs["xla"], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_past", [0, 5, 200])
+def test_flash_stacked_int8_matches_reference(qkv, n_past):
+    """int8-cache kernel: in-kernel scale application must equal dequantized
+    reference attention."""
+    from llama_swift_tpu.ops.attention import flash_decode_attention_stacked_int8
+
+    q, k, v = qkv
+    # quantize k/v per (head, position) symmetric, like cache_write_full
+    def quant(a):
+        amax = np.abs(np.asarray(a)).max(axis=-1, keepdims=True)
+        scale = amax / 127.0
+        inv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1), 0.0)
+        qa = np.clip(np.round(np.asarray(a) * inv), -127, 127).astype(np.int8)
+        return qa, scale.astype(np.float32)
+
+    kq, ks = quant(k)
+    vq, vs = quant(v)
+    out = flash_decode_attention_stacked_int8(
+        q, jnp.asarray(kq)[None], jnp.asarray(vq)[None],
+        jnp.asarray(ks)[None], jnp.asarray(vs)[None],
+        jnp.int32(0), jnp.int32(n_past), chunk=128, interpret=True,
+    )
+    ref = reference_decode_attention(
+        q, jnp.asarray(kq.astype(np.float32) * ks),
+        jnp.asarray(vq.astype(np.float32) * vs), n_past,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_model_decode_int8_cache_flash_matches_xla(tiny_cfg, tiny_tensors):
+    """forward() with int8 KV + flash must match the int8 XLA path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.config import ModelConfig
+    from llama_swift_tpu.models import llama as model_lib
+
+    outs = {}
+    for name, flash in [("xla", False), ("flash", True)]:
+        cfg = ModelConfig.tiny(n_ctx=64, kv_cache_dtype="int8",
+                               use_flash_decode=flash, scan_layers=False)
+        params = model_lib.params_from_tensors(tiny_tensors, cfg,
+                                               param_dtype=jnp.float32)
+        cache = model_lib.init_cache(cfg)
+        _, cache = model_lib.prefill(
+            params, jnp.asarray([1, 5, 9], dtype=jnp.int32), jnp.int32(0),
+            cache, cfg,
+        )
+        logits, _ = model_lib.decode_step(
+            params, jnp.int32(7), jnp.int32(3), cache, cfg
+        )
+        outs[name] = np.asarray(logits)
+    np.testing.assert_allclose(outs["flash"], outs["xla"], rtol=2e-4, atol=2e-4)
