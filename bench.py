@@ -53,13 +53,30 @@ def build_synthetic_q4_0_params(cfg, layout="v"):
     shapes = expected_tensor_shapes(cfg)
     total_bytes = 0
 
-    def gen_one(seed, shape):
+    def gen_one(seed, shape, name=""):
         if len(shape) == 1:
             return jnp.ones(shape, jnp.float32)
         rows, cols = shape
+        head = "tok_embeddings" in name or "output" in name
+        if layout == "w" and not head:
+            # fused-layer W layout: [out/128, in/8, 128] qs + [out/128, in/32,
+            # 128] scales, NO in-dim padding (in % 128 == 0 suffices)
+            from llama_swift_tpu.ops.q4_fused_layer import Q4_0TensorW
+
+            ot = rows // 128
+
+            def noise3w(d1, mod):
+                a = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 0)
+                b = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 1)
+                c = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 2)
+                return (a * 7 + b * 13 + c * 3 + seed) % mod
+
+            qs4w = noise3w(cols // 8, 2**31 - 1).astype(jnp.int32)
+            scales_w = 0.001 + 1e-5 * noise3w(cols // 32, 97).astype(jnp.float32)
+            return Q4_0TensorW(scales_w=scales_w, qs4w=qs4w)
         cols = (cols + 4095) // 4096 * 4096  # kernel in-dim padding (cvt parity)
         ot = rows // 128
-        if layout == "v":
+        if layout == "v" or (layout == "w" and head):
             def noise3v(d2, mod):
                 a = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 1)
                 b = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 2)
@@ -83,17 +100,19 @@ def build_synthetic_q4_0_params(cfg, layout="v"):
     @jax.jit
     def gen_all():
         return {
-            name: gen_one(i, shape)
+            name: gen_one(i, shape, name)
             for i, (name, shape) in enumerate(sorted(shapes.items()))
         }
 
     tensors = gen_all()
-    for shape in shapes.values():
+    for name, shape in shapes.items():
         if len(shape) == 1:
             total_bytes += shape[0] * 4
         else:
             rows, cols = shape
-            cols = (cols + 4095) // 4096 * 4096  # padded bytes really stream
+            head = "tok_embeddings" in name or "output" in name
+            if layout != "w" or head:
+                cols = (cols + 4095) // 4096 * 4096  # padded bytes stream
             total_bytes += rows * cols // 2 + rows * (cols // 32) * 4
     return tensors, total_bytes
 
@@ -163,10 +182,11 @@ def build_params(cfg, args):
             tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=stack
         )
     else:
-        layout = "t" if args.weights == "q4-packed-t" else "v"
+        layout = {"q4-packed-t": "t", "q4-packed-w": "w"}.get(args.weights, "v")
         tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
         params = model_lib.params_from_tensors(
-            tensors, cfg, param_dtype=jnp.float32, stack_layers=stack
+            tensors, cfg, param_dtype=jnp.float32, stack_layers=stack,
+            q4_layout=layout if layout == "w" else None,
         )
     return params, weight_bytes
 
@@ -268,7 +288,8 @@ def main():
                          "stacked [L, ...] buffers (exposes them to XLA "
                          "VMEM promotion; for comparison)")
     ap.add_argument("--weights", default="q4-packed",
-                    choices=["dense-bf16", "q4-packed", "q4-packed-t"],
+                    choices=["dense-bf16", "q4-packed", "q4-packed-t",
+                             "q4-packed-w"],
                     help="q4-packed: 5-bit streaming via the VPU matvec "
                          "kernel (the serving default); q4-packed-t: legacy "
                          "tiled layout + MXU phase kernels; dense-bf16: Q4 "

@@ -115,16 +115,31 @@ def params_from_tensors(
     if stack_layers is None:
         stack_layers = True
 
+    from ..ops.q4_fused_layer import Q4_0TensorW
     from ..ops.q4_matmul_pallas import Q4_0TensorT
     from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
+
+    def cvt_w(a):
+        """Layer-weight converter for the fused-layer path (q4_layout="w"):
+        contraction-on-sublanes W layout (ops/q4_fused_layer.py), no in-dim
+        padding needed (requires in %% 128 == 0, out %% 128 == 0)."""
+        if isinstance(a, Q4_0TensorW):  # pre-packed (synthetic bench params)
+            return jax.tree_util.tree_map(jnp.asarray, a)
+        if (
+            isinstance(a, Q4_0Tensor)
+            and a.shape[0] % 128 == 0
+            and a.shape[1] % 128 == 0
+        ):
+            return jax.tree_util.tree_map(jnp.asarray, Q4_0TensorW.from_q4_0(a))
+        return cvt(a)
 
     def cvt(a):
         if dense_dequant and isinstance(a, (Q4_0Tensor, Q4_1Tensor)):
             return jnp.asarray(a.dequantize(), dtype=param_dtype)
         if (
             isinstance(a, Q4_0Tensor)
-            and q4_layout in ("t", "v")
-            and a.shape[0] % 128 == 0
+            and q4_layout in ("t", "v", "w")  # "w": non-layer tensors
+            and a.shape[0] % 128 == 0         # (embedding/output) pack as V
         ):
             # pad the in-dim to a 4096 multiple: T always k-tiles at KT4=512
             # (few, large, contiguous blocks); V keeps block-lanes (in/32)
@@ -153,7 +168,9 @@ def params_from_tensors(
                 jnp.asarray, Q4_1TensorV.from_q4_1(a)
             )
         if isinstance(
-            a, (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT, Q4_0TensorV, Q4_1TensorV)
+            a,
+            (Q4_0Tensor, Q4_1Tensor, Q4_0TensorT, Q4_0TensorV, Q4_1TensorV,
+             Q4_0TensorW),
         ):
             return jax.tree_util.tree_map(jnp.asarray, a)
         # keep device arrays on device (no host round trip)
@@ -189,6 +206,23 @@ def params_from_tensors(
             )
             return tensors[key]
 
+        if q4_layout == "w":
+            # fused-layer path (ops/q4_fused_layer.py): wqkv/w13 fused
+            # out-concats mandatory (one weight stream per kernel); layer
+            # weights in the W layout, norms f32
+            layer = {
+                "attention_norm": cvt(get("attention_norm")),
+                "ffn_norm": cvt(get("ffn_norm")),
+                "wo": cvt_w(get("wo")),
+                "w2": cvt_w(_pad_weight(get("w2"), in_to=ff_pad)),
+                "wqkv": cvt_w(_concat_out([get("wq"), get("wk"), get("wv")])),
+                "w13": cvt_w(_concat_out([
+                    _pad_weight(get("w1"), out_to=ff_pad),
+                    _pad_weight(get("w3"), out_to=ff_pad),
+                ])),
+            }
+            params["layers"].append(layer)
+            continue
         layer = {
             "attention_norm": cvt(get("attention_norm")),
             "ffn_norm": cvt(get("ffn_norm")),
@@ -228,10 +262,11 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
     rows produce zero activations and padded in-columns consume zeros — the
     result is bit-identical on the original span.
     """
+    from ..ops.q4_fused_layer import Q4_0TensorW
     from ..ops.q4_matmul_pallas import Q4_0TensorT
     from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV
 
-    if isinstance(a, (Q4_0TensorT, Q4_0TensorV, Q4_1TensorV)):
+    if isinstance(a, (Q4_0TensorT, Q4_0TensorV, Q4_1TensorV, Q4_0TensorW)):
         rows, cols = a.shape
         if (out_to or rows) <= rows and (in_to or cols) <= cols:
             return a  # already at/above target (e.g. kernel in-dim padding)
@@ -310,6 +345,14 @@ def _concat_out(parts: list):
         return Q4_1TensorV(
             sm_v=cat([p.sm_v for p in parts], axis=0),
             qs4v=cat([p.qs4v for p in parts], axis=0),
+        )
+    from ..ops.q4_fused_layer import Q4_0TensorW
+
+    if isinstance(parts[0], Q4_0TensorW):
+        # W layout [out/128, in/8|in/32, 128]: out is axis 0, tile-aligned
+        return Q4_0TensorW(
+            scales_w=cat([p.scales_w for p in parts], axis=0),
+            qs4w=cat([p.qs4w for p in parts], axis=0),
         )
     return cat(list(parts))
 
@@ -599,10 +642,60 @@ def forward(
         # a scan slice (or XLA memory-space assignment on per-layer arrays)
         # would materialize weight-sized copies; instead the kernels index
         # the stacked buffer directly (StackedQ4Ref / StackedQ4VRef).
+        from ..ops.q4_fused_layer import Q4_0TensorW
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
         from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
         stacked = params["layers_stacked"]
+
+        if (
+            isinstance(stacked.get("wqkv"), Q4_0TensorW)
+            and N == 1
+            and slot is None
+            and "k_scale" not in cache
+            and cfg.quantize_activations
+        ):
+            # fused-layer decode: TWO pallas kernels per layer, everything
+            # (norm/quant/rope/cache-write/attention/SwiGLU/residuals) inside
+            # them, one continuous weight-DMA stream per kernel
+            # (ops/q4_fused_layer.py)
+            from ..ops.q4_fused_layer import (
+                fused_attn_block,
+                fused_ffn_block,
+                rope_vectors,
+            )
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            cos, sin = rope_vectors(n_past, cfg.head_dim)
+            kcache, vcache = cache["k"], cache["v"]
+            wqkv, wo = stacked["wqkv"], stacked["wo"]
+            w13, w2 = stacked["w13"], stacked["w2"]
+            chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
+            xr = x.astype(jnp.float32)
+            ff_real = w13.qs4w.shape[1] * 64  # out_tiles·128 / 2
+            for il in range(cfg.n_layer):
+                xr, kcache, vcache = fused_attn_block(
+                    xr, stacked["attention_norm"][il][None, :], cos, sin,
+                    wqkv.qs4w, wqkv.scales_w, wo.qs4w, wo.scales_w,
+                    kcache, vcache, il, n_past,
+                    norm_type=cfg.norm_type, eps=cfg.norm_eps,
+                    ctx_chunk=chunk, interpret=interp,
+                )
+                xr = fused_ffn_block(
+                    xr, stacked["ffn_norm"][il][None, :],
+                    w13.qs4w, w13.scales_w, w2.qs4w, w2.scales_w, il,
+                    norm_type=cfg.norm_type, eps=cfg.norm_eps,
+                    ff_real=ff_real, interpret=interp,
+                )
+            new_cache = dict(cache)
+            new_cache["k"] = kcache
+            new_cache["v"] = vcache
+            x = norm(xr, params["norm"], cfg.norm_type, cfg.norm_eps)
+            logits = lin(x.astype(compute_dtype), params["output"]).astype(
+                jnp.float32
+            )
+            return logits[:, : cfg.n_vocab], new_cache
+
         q4_keys = [
             k
             for k, v in stacked.items()
@@ -619,6 +712,12 @@ def forward(
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
+                elif isinstance(v, Q4_0TensorW):
+                    # prefill/fallback: dynamic per-layer slice (the fused
+                    # decode path above never goes through layer_at)
+                    layer[k] = Q4_0TensorW(
+                        scales_w=v.scales_w[il], qs4w=v.qs4w[il]
+                    )
                 else:
                     layer[k] = v[il]
             return layer

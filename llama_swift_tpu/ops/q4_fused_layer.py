@@ -1,0 +1,747 @@
+"""Fused transformer-layer kernels: TWO pallas calls per decode layer.
+
+Why: the r3 decode trace showed ~1.1 ms/step of XLA glue (norms, activation
+quantization, phase-major preps, rope, output extraction) BETWEEN the Q4
+matvec kernels, plus a drained DMA pipe at every kernel boundary — against a
+5.5 ms weight-stream floor.  Here each layer is two kernels,
+
+  ``fused_attn_block``: norm → quant/prep → wqkv matvec stream → rope →
+      KV-cache write (aliased, in place) → flash attention (O(n_past)
+      chunks) → prep → wo matvec stream → +residual
+  ``fused_ffn_block``:  norm → quant/prep → w13 matvec stream → SwiGLU →
+      prep → w2 matvec stream → +residual
+
+with ONE weight-DMA ring running the whole kernel: the second matmul's
+tiles start streaming while the glue between them computes, so the HBM pipe
+never drains inside a layer.  All glue runs on the VPU between DMA waits.
+
+**W layout** (`Q4_0TensorW`): contraction on SUBLANES, out rows on LANES —
+``qs4w`` i32 [out/128, in/8, 128], ``scales_w`` f32 [out/128, in/32, 128].
+The matvec accumulates over sublanes and yields each tile's 128 outputs as
+a LANE row [1, 128], which is exactly the orientation the next stage's
+activation prep consumes — no sublane↔lane transposes between stages.
+
+**Block permutation.**  Mosaic cannot lower a lane-splitting reshape (it
+crashes on ``[1,4096]→(128,32)``), so the in-kernel activation prep builds
+the phase-major operand with only proven-lowerable ops (2-D transpose,
+leading-dim split/transpose, lanes-merge, lane rolls):
+
+  h [R,128] → roll-based per-32-block quant → q [R,128] → qᵀ [128,R]
+    → [4(g'),4(o),8(p),R(r)] → transpose(2,1,0,3) → merge [8, in/8] → ᵀ
+
+which emits activation lanes in the order ``o·nb + g'·R + r`` for flat
+element ``32·(4r+g') + 8o+p``.  The weight packer permutes blocks by
+``λ(β) = (β%4)·R + β//4`` so weight sublane ``o·nb + λ(β)`` meets exactly
+that activation — the permutation lives entirely inside the layout and the
+dot is unchanged.
+
+Numerics: identical to ``q4_0_vpu_pallas`` — exact int nibble arithmetic,
+per-block −8 correction and d_w·d_x scaling (``ggml_vec_dot_q4_0``,
+``ggml.c:1296-1582``); mean-centered ggml norm; adjacent-pair rope via lane
+rolls; online-softmax attention over the unmodified [L, H, n_ctx, Dh]
+cache with the same j ≤ n_past mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import QK
+from ..formats.quant import Q4_0Tensor
+
+PHASES = 8
+LANES = 128
+NBUF = 6  # weight-tile DMA ring depth (see q4_vpu_pallas.NBUF rationale)
+KVBUF = 3  # attention chunk ring depth
+NEG_INF = -1e30
+
+
+def block_perm(nb: int) -> np.ndarray:
+    """λ such that packed position λ holds logical block ``4·(λ%R)+λ//R``
+    (R = nb//4): the inverse of the prep chain's natural emission order."""
+    R = nb // 4
+    lam = np.arange(nb)
+    return 4 * (lam % R) + lam // R
+
+
+@dataclasses.dataclass
+class Q4_0TensorW:
+    """Q4_0 weight packed for the fused-layer kernels (see module doc)."""
+
+    scales_w: jnp.ndarray  # f32 [out/128, in/32, 128]
+    qs4w: jnp.ndarray  # i32 [out/128, in/8, 128]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.qs4w.shape[0] * LANES, self.qs4w.shape[1] * PHASES)
+
+    @classmethod
+    def from_q4_0(cls, w: Q4_0Tensor) -> "Q4_0TensorW":
+        qs = np.asarray(w.qs)  # u8 [out, in/2]
+        scales = np.asarray(w.scales).astype(np.float32)  # [out, nb]
+        out, kh = qs.shape
+        nb = kh // 16
+        assert out % LANES == 0 and nb % 4 == 0, (out, nb)
+        perm = block_perm(nb)
+        # permute logical blocks into packed order
+        qs = qs.reshape(out, nb, 16)[:, perm].reshape(out, kh)
+        scales = scales[:, perm]
+        # pack 4 bytes per i32 (8 consecutive elements of the packed order)
+        qs4 = qs.reshape(out, kh // 4, 4)
+        qs4 = (
+            qs4[:, :, 0].astype(np.uint32)
+            | (qs4[:, :, 1].astype(np.uint32) << 8)
+            | (qs4[:, :, 2].astype(np.uint32) << 16)
+            | (qs4[:, :, 3].astype(np.uint32) << 24)
+        ).view(np.int32)  # [out, in/8]; u32 #g of packed block λ at 4λ+g
+        # group-major sublane order: sublane o·nb + λ = u32 #o of block λ
+        qs4 = qs4.reshape(out, nb, 4).transpose(0, 2, 1).reshape(out, nb * 4)
+        ot = out // LANES
+        # out rows onto lanes: [ot, in/8, 128] / [ot, nb, 128]
+        qs4 = qs4.reshape(ot, LANES, nb * 4).transpose(0, 2, 1)
+        scales = scales.reshape(ot, LANES, nb).transpose(0, 2, 1)
+        return cls(
+            scales_w=np.ascontiguousarray(scales),
+            qs4w=np.ascontiguousarray(qs4),
+        )
+
+    def to_q4_0(self) -> Q4_0Tensor:
+        qs4 = np.asarray(self.qs4w)  # [ot, kh4, 128]
+        scales = np.asarray(self.scales_w)
+        ot, kh4, _ = qs4.shape
+        nb = kh4 // 4
+        out = ot * LANES
+        qs4 = qs4.transpose(0, 2, 1).reshape(out, kh4)
+        scales = scales.transpose(0, 2, 1).reshape(out, nb)
+        qs4 = qs4.reshape(out, 4, nb).transpose(0, 2, 1).reshape(out, kh4)
+        qs = np.empty((out, kh4, 4), dtype=np.uint8)
+        u32 = qs4.view(np.uint32)
+        for b in range(4):
+            qs[:, :, b] = ((u32 >> (8 * b)) & 0xFF).astype(np.uint8)
+        qs = qs.reshape(out, kh4 * 4)
+        inv = np.argsort(block_perm(nb))
+        qs = qs.reshape(out, nb, 16)[:, inv].reshape(out, kh4 * 4)
+        return Q4_0Tensor(scales=scales[:, inv], qs=qs)
+
+
+jax.tree_util.register_pytree_node(
+    Q4_0TensorW,
+    lambda t: ((t.scales_w, t.qs4w), None),
+    lambda _, leaves: Q4_0TensorW(*leaves),
+)
+
+
+def dequantize_q4_0w_jnp(w: Q4_0TensorW, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense [out, in] from the W layout (prefill / fallback path)."""
+    qs4 = jnp.asarray(w.qs4w).view(jnp.uint32)  # [ot, kh4, 128]
+    scales = jnp.asarray(w.scales_w).astype(jnp.float32)  # [ot, nb, 128]
+    ot, kh4, _ = qs4.shape
+    nb = kh4 // 4
+    out = ot * LANES
+    qs4 = qs4.transpose(0, 2, 1).reshape(out, kh4)
+    scales = scales.transpose(0, 2, 1).reshape(out, nb)
+    qs4 = qs4.reshape(out, 4, nb).transpose(0, 2, 1)  # [out, nb(λ), 4(g)]
+    vals = jnp.stack(
+        [
+            ((qs4 >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(jnp.float32)
+            - 8.0
+            for p in range(PHASES)
+        ],
+        axis=-1,
+    )  # [out, nb, 4, 8] — packed element (λ, 8g+p)
+    vals = vals.reshape(out, nb, QK) * scales[:, :, None]
+    inv = jnp.asarray(np.argsort(block_perm(nb)))
+    vals = vals[:, inv]  # undo the block permutation
+    return vals.reshape(out, nb * QK).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks
+# ---------------------------------------------------------------------------
+
+_MASKS = [0xF << (4 * p) for p in range(7)]  # phase 7 uses a logical shift
+_XSC = [float(16.0 ** -p) for p in range(7)] + [1.0]
+
+
+def _ggml_norm_row(x, w, norm_type: str, eps: float):
+    """x, w: [1, D] f32 — mean-centered ggml norm (or rmsnorm) · weight."""
+    if norm_type == "layernorm":
+        mean = jnp.mean(x)
+        c = x - mean
+        var = jnp.mean(c * c)
+        return (c / jnp.sqrt(var + eps)) * w
+    ms = jnp.mean(x * x)
+    return (x / jnp.sqrt(ms + eps)) * w
+
+
+def _xsc_row(kh4: int):
+    """[kh4? no — [1, 8] lane row of 16^-p (p<7) and 1.0 (p=7), built from
+    iota (array constants cannot be captured by pallas kernels)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, PHASES), 1)
+    return jnp.where(p == 7, 1.0, jnp.exp2(-4.0 * p.astype(jnp.float32)))
+
+
+def _quant_prep(h):
+    """h [1, D] f32 → (xr_cols [D/8, 8] ·16^-p, d_col [nb,1], corr_col [nb,1])
+    in PACKED block order (block λ = g'·R + r holds logical block 4r + g';
+    the permutation is the structured reshape/transpose below — no gathers).
+
+    Exact reference activation quantization: per-32-block amax/7 scale,
+    round half away from zero (``ggml.c:568-601``).
+    NOTE: this reshape formulation is the interpret-mode specification; the
+    Mosaic path substitutes the roll/transpose formulation (same outputs).
+    """
+    D = h.shape[1]
+    nb = D // QK
+    R = nb // 4
+    hb = h.reshape(nb, QK)
+    amax = jnp.max(jnp.abs(hb), axis=1)
+    d = amax / 7.0
+    inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    q = jnp.trunc(hb * inv[:, None] + jnp.where(hb >= 0, 0.5, -0.5))
+    corr = 8.0 * jnp.sum(q, axis=1)
+
+    def pack(a):  # [nb, ...] logical block order -> packed order λ = g'R + r
+        return a.reshape(R, 4, *a.shape[1:]).swapaxes(0, 1).reshape(a.shape)
+
+    qp = pack(q)
+    xr = qp.reshape(nb, 4, PHASES).transpose(1, 0, 2).reshape(4 * nb, PHASES)
+    xr = xr * _xsc_row(None)
+    return xr, pack(d).reshape(nb, 1), pack(corr).reshape(nb, 1)
+
+
+def _quant_prep_mosaic(h):
+    """Mosaic-lowerable `_quant_prep`: identical outputs, expressed with only
+    ops the TPU compiler accepts (probed r3): [1,N]→[N/128,128] reshape,
+    lane rolls (segmented per-32-block max/sum + broadcast), 2-D transposes,
+    contiguous/strided sublane slices, lane/sublane concatenation.  The
+    natural reshape/transpose formulation crashes Mosaic on lane-splitting
+    reshapes; this one never splits lanes."""
+    D = h.shape[1]
+    R = D // LANES
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) % QK
+
+    def seg_reduce(a, op):
+        # windowed op over [l, l+31] (read only at 32-aligned lane starts)
+        for k in (1, 2, 4, 8, 16):
+            a = op(a, pltpu.roll(a, shift=LANES - k, axis=1))
+        return a
+
+    def seg_broadcast(a):
+        # every lane takes the value from its 32-aligned segment start
+        for k in (1, 2, 4, 8, 16):
+            a = jnp.where((lane32 & k) != 0, pltpu.roll(a, shift=k, axis=1), a)
+        return a
+
+    y = h.reshape(R, LANES)
+    d_full = seg_broadcast(seg_reduce(jnp.abs(y), jnp.maximum)) / 7.0
+    inv = jnp.where(d_full > 0, 1.0 / jnp.where(d_full > 0, d_full, 1.0), 0.0)
+    q = jnp.trunc(y * inv + jnp.where(y >= 0, 0.5, -0.5))
+    corr_full = 8.0 * seg_broadcast(seg_reduce(q, jnp.add))
+
+    qT = q.T  # [128, R]; row l = 32g' + 8o + p
+    pieces = [
+        qT[QK * g + PHASES * o : QK * g + PHASES * o + PHASES, :]
+        for o in range(4)
+        for g in range(4)
+    ]
+    xr8 = jnp.concatenate(pieces, axis=1)  # [8, 4·4·R]; lane = o·4R + g'·R + r
+    xr_cols = xr8.T * _xsc_row(None)  # [16R, 8]
+
+    def col(full):  # [R,128] block-broadcast stats -> [4R, 1] packed column
+        t4 = full.T[0::QK, :]  # [4(g'), R(r)] values at segment starts
+        return jnp.concatenate(
+            [t4[g : g + 1, :].T for g in range(4)], axis=0
+        )  # [4R, 1], sublane λ = g'·R + r
+
+    return xr_cols, col(d_full), col(corr_full)
+
+
+def _w_core(xl, xr_cols, d_col, corr_col, sc):
+    """One W-layout tile: xl i32 [kh4, 128(out)], xr_cols [kh4, 8],
+    d_col/corr_col [nb, 1], sc [nb, 128] → y [1, 128] f32 (exact int
+    semantics as `q4_vpu_pallas._vpu_core`, transposed orientation)."""
+    kh4 = xl.shape[0]
+    nb = kh4 // 4
+    acc = (xl & _MASKS[0]).astype(jnp.float32) * xr_cols[:, 0:1]
+    for p in range(1, 7):
+        acc = acc + (xl & _MASKS[p]).astype(jnp.float32) * xr_cols[:, p : p + 1]
+    top = jax.lax.shift_right_logical(xl, 28)
+    acc = acc + top.astype(jnp.float32) * xr_cols[:, 7:8]
+    accb = (
+        acc[0 * nb : 1 * nb]
+        + acc[1 * nb : 2 * nb]
+        + acc[2 * nb : 3 * nb]
+        + acc[3 * nb : 4 * nb]
+    )  # [nb, 128]
+    return jnp.sum((accb - corr_col) * (sc * d_col), axis=0, keepdims=True)
+
+
+def _rope_row(x, cos_row, sin_srow):
+    """Adjacent-pair rope on [H, 128] lane-major rows via lane rolls:
+    y = x·cos + swap(x)·sin_signed (swap exchanges each (2i, 2i+1) pair;
+    sin_srow carries −sin at even lanes, +sin at odd)."""
+    left = pltpu.roll(x, shift=LANES - 1, axis=1)  # x[l+1]
+    right = pltpu.roll(x, shift=1, axis=1)  # x[l-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    swap = jnp.where(lane % 2 == 0, left, right)
+    return x * cos_row + swap * sin_srow
+
+
+def rope_vectors(n_past, head_dim: int = 128):
+    """(cos_row, sin_signed_row) [1, head_dim] f32 for position ``n_past`` —
+    computed once per decode step in XLA and passed into the attn kernel.
+    theta_j = 10000^(-2j/d) (``ggml.c:7076-7131``)."""
+    j = jnp.arange(head_dim // 2, dtype=jnp.float32)
+    theta = jnp.float32(10000.0) ** (-2.0 * j / head_dim)
+    ang = n_past.astype(jnp.float32) * theta
+    cos = jnp.repeat(jnp.cos(ang), 2)[None, :]
+    sin = jnp.sin(ang)
+    sin_s = jnp.stack([-sin, sin], axis=1).reshape(-1)[None, :]
+    return cos, sin_s
+
+
+# ---------------------------------------------------------------------------
+# fused FFN block kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_ffn_kernel(ot13: int, ot2: int, kh4_13: int, kh4_2: int,
+                     norm_type: str, eps: float, mosaic_prep: bool):
+    nb13 = kh4_13 // 4
+    nb2 = kh4_2 // 4
+    steps = ot13 + ot2
+    in2 = kh4_2 * PHASES
+
+    def kernel(s_ref, x_ref, nw_ref, w13_qs, w13_sc, w2_qs, w2_sc,
+               out_ref, qbuf, sbuf, gbuf, xr2_ref, aux2_ref, qsem, ssem):
+        il = s_ref[0]
+
+        def w13_copies(slot, j):
+            return (
+                pltpu.make_async_copy(
+                    w13_qs.at[il, j], qbuf.at[slot, :kh4_13], qsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    w13_sc.at[il, j], sbuf.at[slot, :nb13], ssem.at[slot]
+                ),
+            )
+
+        def w2_copies(slot, j):
+            return (
+                pltpu.make_async_copy(
+                    w2_qs.at[il, j - ot13], qbuf.at[slot], qsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    w2_sc.at[il, j - ot13], sbuf.at[slot, :nb2], ssem.at[slot]
+                ),
+            )
+
+        def start(j):
+            slot = j % NBUF
+
+            @pl.when(j < ot13)
+            def _():
+                a, b = w13_copies(slot, j)
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(j >= ot13, j < steps))
+            def _():
+                a, b = w2_copies(slot, j)
+                a.start()
+                b.start()
+
+        for w in range(NBUF - 1):  # warm-up before any compute
+            start(jnp.int32(w))
+
+        # norm + quant/prep overlap the warm-up DMAs
+        prep = _quant_prep_mosaic if mosaic_prep else _quant_prep
+        h = _ggml_norm_row(x_ref[:, :], nw_ref[:, :], norm_type, eps)
+        xr1, d1, c1 = prep(h)
+
+        def body(j, carry):
+            slot = j % NBUF
+            start(j + NBUF - 1)
+
+            @pl.when(j < ot13)
+            def _():
+                a, b = w13_copies(slot, j)
+                a.wait()
+                b.wait()
+                y = _w_core(qbuf[slot, :kh4_13], xr1, d1, c1, sbuf[slot, :nb13])
+                gbuf[pl.ds(j, 1), :] = y
+
+            @pl.when(j == ot13)
+            def _():
+                # SwiGLU + w2 prep — w2's tiles already streaming
+                g1 = gbuf[0 : ot13 // 2]
+                g3 = gbuf[ot13 // 2 : ot13]
+                gate = (g1 / (1.0 + jnp.exp(-g1))) * g3  # exact f32 silu
+                pad_rows = in2 // LANES - ot13 // 2
+                gpad = jnp.concatenate(
+                    [gate, jnp.zeros((pad_rows, LANES), jnp.float32)], axis=0
+                ) if pad_rows else gate
+                xr2, d2, c2 = prep(gpad.reshape(1, in2))
+                xr2_ref[:, :] = xr2
+                aux2_ref[:, 0:1] = d2
+                aux2_ref[:, 1:2] = c2
+
+            @pl.when(j >= ot13)
+            def _():
+                a, b = w2_copies(slot, j)
+                a.wait()
+                b.wait()
+                y = _w_core(
+                    qbuf[slot], xr2_ref[:, :], aux2_ref[:, 0:1],
+                    aux2_ref[:, 1:2], sbuf[slot, :nb2],
+                )
+                o = pl.multiple_of((j - ot13) * LANES, LANES)
+                out_ref[:, pl.ds(o, LANES)] = x_ref[:, pl.ds(o, LANES)] + y
+
+            return carry
+
+        jax.lax.fori_loop(0, steps, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("norm_type", "eps", "ff_real", "interpret")
+)
+def fused_ffn_block(
+    x,  # [1, D] f32
+    ffn_norm,  # [1, D] f32
+    w13_qs, w13_sc,  # stacked W layout [L, ot13, kh4_13, 128] / [.., nb13, ..]
+    w2_qs, w2_sc,  # [L, ot2, kh4_2, 128] / [.., nb2, ..]
+    layer_idx,
+    *,
+    norm_type: str = "layernorm",
+    eps: float = 1e-5,
+    ff_real: int = 0,  # real (unpadded) n_ff — gbuf rows = 2*ff_real/128
+    interpret: bool = False,
+):
+    """x + w2·(silu(g1)⊙g3) with [g1;g3] = w13·quant(norm(x)·w) — one kernel,
+    one continuous weight-DMA stream."""
+    L, ot13, kh4_13, _ = w13_qs.shape
+    _, ot2, kh4_2, _ = w2_qs.shape
+    D = x.shape[1]
+    assert ot13 == 2 * ff_real // LANES, (ot13, ff_real)
+    kernel = _make_ffn_kernel(
+        ot13, ot2, kh4_13, kh4_2, norm_type, eps, mosaic_prep=not interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, kh4_2, LANES), jnp.int32),
+            pltpu.VMEM((NBUF, max(kh4_13, kh4_2) // 4, LANES), jnp.float32),
+            pltpu.VMEM((ot13, LANES), jnp.float32),
+            pltpu.VMEM((kh4_2, PHASES), jnp.float32),
+            pltpu.VMEM((kh4_2 // 4, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.asarray([layer_idx], jnp.int32), x, ffn_norm,
+        w13_qs, w13_sc, w2_qs, w2_sc,
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused attention block kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
+                      norm_type: str, eps: float, mosaic_prep: bool):
+    nb = kh4 // 4
+    steps = ot_qkv + H  # wqkv tiles then wo tiles (wo out = D = H·128)
+    D = H * LANES
+
+    def kernel(s_ref, x_ref, nw_ref, cos_ref, sin_ref,
+               wqkv_qs, wqkv_sc, wo_qs, wo_sc, kc_in, vc_in,
+               out_x, kc, vc,
+               qbuf, sbuf, qkvbuf, xr2_ref, aux2_ref, kvbuf, kcast, vcast,
+               qsem, ssem, kvsem, csem):
+        del kc_in, vc_in  # aliased to kc/vc
+        il = s_ref[0]
+        n_past = s_ref[1]
+        prep = _quant_prep_mosaic if mosaic_prep else _quant_prep
+
+        def qkv_copies(slot, j):
+            return (
+                pltpu.make_async_copy(
+                    wqkv_qs.at[il, j], qbuf.at[slot], qsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    wqkv_sc.at[il, j], sbuf.at[slot], ssem.at[slot]
+                ),
+            )
+
+        def wo_copies(slot, j):
+            return (
+                pltpu.make_async_copy(
+                    wo_qs.at[il, j - ot_qkv], qbuf.at[slot], qsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    wo_sc.at[il, j - ot_qkv], sbuf.at[slot], ssem.at[slot]
+                ),
+            )
+
+        def start(j):
+            slot = j % NBUF
+
+            @pl.when(j < ot_qkv)
+            def _():
+                a, b = qkv_copies(slot, j)
+                a.start()
+                b.start()
+
+            @pl.when(jnp.logical_and(j >= ot_qkv, j < steps))
+            def _():
+                a, b = wo_copies(slot, j)
+                a.start()
+                b.start()
+
+        for w in range(NBUF - 1):
+            start(jnp.int32(w))
+
+        h = _ggml_norm_row(x_ref[:, :], nw_ref[:, :], norm_type, eps)
+        xr1, d1, c1 = prep(h)
+        scale = 1.0 / float(np.sqrt(128.0))
+
+        def kv_copy(slot, c):
+            off = pl.multiple_of(c * ctx_chunk, ctx_chunk)
+            return (
+                pltpu.make_async_copy(
+                    kc.at[il, :, pl.ds(off, ctx_chunk), :],
+                    kvbuf.at[slot, 0], kvsem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    vc.at[il, :, pl.ds(off, ctx_chunk), :],
+                    kvbuf.at[slot, 1], kvsem.at[slot, 1],
+                ),
+            )
+
+        def body(j, carry):
+            slot = j % NBUF
+            start(j + NBUF - 1)
+
+            @pl.when(j < ot_qkv)
+            def _():
+                a, b = qkv_copies(slot, j)
+                a.wait()
+                b.wait()
+                y = _w_core(qbuf[slot], xr1, d1, c1, sbuf[slot])
+                qkvbuf[pl.ds(j, 1), :] = y
+
+            @pl.when(j == ot_qkv)
+            def _():
+                # ---- rope + cache write + attention + wo prep ----------
+                q = _rope_row(qkvbuf[0:H, :], cos_ref[:, :], sin_ref[:, :])
+                k = _rope_row(qkvbuf[H : 2 * H, :], cos_ref[:, :], sin_ref[:, :])
+                v = qkvbuf[2 * H : 3 * H, :]
+                kcast[:, 0, :] = k.astype(kcast.dtype)
+                vcast[:, 0, :] = v.astype(vcast.dtype)
+                npp = pl.multiple_of(n_past, 1)
+                ck = pltpu.make_async_copy(
+                    kcast, kc.at[il, :, pl.ds(npp, 1), :], csem.at[0]
+                )
+                cv = pltpu.make_async_copy(
+                    vcast, vc.at[il, :, pl.ds(npp, 1), :], csem.at[1]
+                )
+                ck.start()
+                cv.start()
+                ck.wait()
+                cv.wait()
+
+                n_live = n_past // ctx_chunk + 1
+                for c0 in range(KVBUF - 1):
+
+                    @pl.when(c0 < n_live)
+                    def _(c0=c0):
+                        a, b = kv_copy(c0 % KVBUF, jnp.int32(c0))
+                        a.start()
+                        b.start()
+
+                def att_body(c, att):
+                    m, l, acc = att
+                    slot = c % KVBUF
+                    pre = c + KVBUF - 1
+
+                    @pl.when(pre < n_live)
+                    def _():
+                        a, b = kv_copy(pre % KVBUF, pre)
+                        a.start()
+                        b.start()
+
+                    a, b = kv_copy(slot, c)
+                    a.wait()
+                    b.wait()
+                    kcb = kvbuf[slot, 0].astype(jnp.float32)  # [H, C, 128]
+                    vcb = kvbuf[slot, 1].astype(jnp.float32)
+                    s = jnp.concatenate(
+                        [
+                            jax.lax.dot_general(
+                                q[hh : hh + 1, :], kcb[hh],
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for hh in range(H)
+                        ],
+                        axis=0,
+                    ) * scale  # [H, C]
+                    jidx = c * ctx_chunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (H, ctx_chunk), 1
+                    )
+                    s = jnp.where(jidx <= n_past, s, NEG_INF)
+                    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                    alpha = jnp.exp(m - m_new)
+                    p = jnp.exp(s - m_new)
+                    l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                    pv = jnp.concatenate(
+                        [
+                            jax.lax.dot_general(
+                                p[hh : hh + 1, :], vcb[hh],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for hh in range(H)
+                        ],
+                        axis=0,
+                    )
+                    return m_new, l, acc * alpha + pv
+
+                m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+                l0 = jnp.zeros((H, 1), jnp.float32)
+                a0 = jnp.zeros((H, LANES), jnp.float32)
+                m, l, acc = jax.lax.fori_loop(0, n_live, att_body, (m0, l0, a0))
+                ctx = acc / l  # [H, 128]
+                xr2, d2, c2 = prep(ctx.reshape(1, D))
+                xr2_ref[:, :] = xr2
+                aux2_ref[:, 0:1] = d2
+                aux2_ref[:, 1:2] = c2
+
+            @pl.when(j >= ot_qkv)
+            def _():
+                a, b = wo_copies(slot, j)
+                a.wait()
+                b.wait()
+                y = _w_core(
+                    qbuf[slot], xr2_ref[:, :], aux2_ref[:, 0:1],
+                    aux2_ref[:, 1:2], sbuf[slot],
+                )
+                o = pl.multiple_of((j - ot_qkv) * LANES, LANES)
+                out_x[:, pl.ds(o, LANES)] = x_ref[:, pl.ds(o, LANES)] + y
+
+            return carry
+
+        jax.lax.fori_loop(0, steps, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("norm_type", "eps", "ctx_chunk", "interpret"),
+)
+def fused_attn_block(
+    x,  # [1, D] f32
+    attn_norm,  # [1, D] f32
+    cos_row, sin_row,  # [1, 128] f32 rope vectors for position n_past
+    wqkv_qs, wqkv_sc,  # stacked W layout [L, 3H, kh4, 128] / [L, 3H, nb, 128]
+    wo_qs, wo_sc,  # [L, H, kh4, 128] / [L, H, nb, 128]
+    k_cache, v_cache,  # [L, H, n_ctx, 128]
+    layer_idx, n_past,
+    *,
+    norm_type: str = "layernorm",
+    eps: float = 1e-5,
+    ctx_chunk: int = 128,
+    interpret: bool = False,
+):
+    """x + wo·attn(rope(qkv(norm(x)·w))) with the KV cache updated in place
+    (aliased outputs) — one kernel, continuous weight stream, O(n_past)
+    attention chunks.  Requires head_dim == 128 (each head = one tile).
+    Returns (x_out [1, D], k_cache, v_cache)."""
+    L, ot_qkv, kh4, _ = wqkv_qs.shape
+    _, H, n_ctx, dh = k_cache.shape
+    D = x.shape[1]
+    assert dh == LANES and H * LANES == D and ot_qkv == 3 * H, (H, D, ot_qkv)
+    assert n_ctx % ctx_chunk == 0, (n_ctx, ctx_chunk)
+    kernel = _make_attn_kernel(
+        H, ot_qkv, kh4, ctx_chunk, norm_type, eps, mosaic_prep=not interpret
+    )
+    nbw = kh4 // 4
+    scalars = jnp.stack(
+        [jnp.asarray(layer_idx, jnp.int32), jnp.asarray(n_past, jnp.int32)]
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={9: 1, 10: 2},
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, kh4, LANES), jnp.int32),
+            pltpu.VMEM((NBUF, nbw, LANES), jnp.float32),
+            pltpu.VMEM((3 * H, LANES), jnp.float32),
+            pltpu.VMEM((kh4, PHASES), jnp.float32),
+            pltpu.VMEM((nbw, 2), jnp.float32),
+            pltpu.VMEM((KVBUF, 2, H, ctx_chunk, LANES), k_cache.dtype),
+            pltpu.VMEM((H, 1, LANES), k_cache.dtype),
+            pltpu.VMEM((H, 1, LANES), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((KVBUF, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        scalars, x, attn_norm, cos_row, sin_row,
+        wqkv_qs, wqkv_sc, wo_qs, wo_sc, k_cache, v_cache,
+    )

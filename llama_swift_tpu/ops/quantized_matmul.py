@@ -267,6 +267,17 @@ def linear(
         return jnp.dot(
             x, wd.T, preferred_element_type=jnp.float32
         ).astype(compute_dtype)
+    from .q4_fused_layer import Q4_0TensorW, dequantize_q4_0w_jnp
+
+    if isinstance(w, Q4_0TensorW):
+        # W layout serves batch-1 decode through the fused-layer kernels
+        # (models/llama.forward); other shapes (prefill) dense-dequant here
+        if quantize_activations:
+            x = fake_quantize_q4_0(x)
+        wd = dequantize_q4_0w_jnp(w, dtype=compute_dtype)
+        return jnp.dot(
+            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         if quantize_activations:
             x = fake_quantize_q4_0(x)
