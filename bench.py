@@ -150,6 +150,8 @@ def build_synthetic_dense_params(cfg):
 
 SIZES = {
     "tiny": dict(n_embd=512, n_head=8, n_layer=4, n_vocab=32000, n_mult=256),
+    # 128-dim heads: exercises the fused-layer kernels at small scale
+    "tiny128": dict(n_embd=512, n_head=4, n_layer=4, n_vocab=32000, n_mult=256),
     "1b": dict(n_embd=2048, n_head=16, n_layer=16, n_vocab=32000, n_mult=256),
     "7b": dict(n_embd=4096, n_head=32, n_layer=32, n_vocab=32000, n_mult=256),
     "13b": dict(n_embd=5120, n_head=40, n_layer=40, n_vocab=32000, n_mult=256),
@@ -261,7 +263,7 @@ def served_bench(cfg, params, weight_bytes, args, chunk=32):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="7b", choices=["tiny", "1b", "7b", "13b"])
+    ap.add_argument("--size", default="7b", choices=["tiny", "tiny128", "1b", "7b", "13b"])
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--batch", type=int, default=1,

@@ -114,6 +114,9 @@ def params_from_tensors(
             q4_layout = "none"
     if stack_layers is None:
         stack_layers = True
+    if q4_layout == "w" and cfg.head_dim != 128:
+        # fused-layer kernels map one 128-dim head per weight tile
+        q4_layout = "v"
 
     from ..ops.q4_fused_layer import Q4_0TensorW
     from ..ops.q4_matmul_pallas import Q4_0TensorT
@@ -654,6 +657,7 @@ def forward(
             and slot is None
             and "k_scale" not in cache
             and cfg.quantize_activations
+            and cfg.head_dim == 128
         ):
             # fused-layer decode: TWO pallas kernels per layer, everything
             # (norm/quant/rope/cache-write/attention/SwiGLU/residuals) inside
@@ -674,12 +678,21 @@ def forward(
             xr = x.astype(jnp.float32)
             ff_real = w13.qs4w.shape[1] * 64  # out_tiles·128 / 2
             for il in range(cfg.n_layer):
-                xr, kcache, vcache = fused_attn_block(
+                xr, k_new, v_new = fused_attn_block(
                     xr, stacked["attention_norm"][il][None, :], cos, sin,
                     wqkv.qs4w, wqkv.scales_w, wo.qs4w, wo.scales_w,
                     kcache, vcache, il, n_past,
                     norm_type=cfg.norm_type, eps=cfg.norm_eps,
                     ctx_chunk=chunk, interpret=interp,
+                )
+                # in-place single-row cache writes on the donated buffers
+                kcache = jax.lax.dynamic_update_slice(
+                    kcache, k_new[None, :, None, :].astype(kcache.dtype),
+                    (il, 0, n_past, 0),
+                )
+                vcache = jax.lax.dynamic_update_slice(
+                    vcache, v_new[None, :, None, :].astype(vcache.dtype),
+                    (il, 0, n_past, 0),
                 )
                 xr = fused_ffn_block(
                     xr, stacked["ffn_norm"][il][None, :],

@@ -256,7 +256,10 @@ def _quant_prep_mosaic(h):
     xr_cols = xr8.T * _xsc_row(None)  # [16R, 8]
 
     def col(full):  # [R,128] block-broadcast stats -> [4R, 1] packed column
-        t4 = full.T[0::QK, :]  # [4(g'), R(r)] values at segment starts
+        # segment-start rows of fullᵀ via a leading split + static index
+        # (a strided sublane slice of a VALUE lowers to an unsupported
+        # gather; refs would support it, values don't)
+        t4 = full.T.reshape(4, QK, R)[:, 0, :]  # [4(g'), R(r)]
         return jnp.concatenate(
             [t4[g : g + 1, :].T for g in range(4)], axis=0
         )  # [4R, 1], sublane λ = g'·R + r
@@ -481,11 +484,10 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
     D = H * LANES
 
     def kernel(s_ref, x_ref, nw_ref, cos_ref, sin_ref,
-               wqkv_qs, wqkv_sc, wo_qs, wo_sc, kc_in, vc_in,
-               out_x, kc, vc,
-               qbuf, sbuf, qkvbuf, xr2_ref, aux2_ref, kvbuf, kcast, vcast,
-               qsem, ssem, kvsem, csem):
-        del kc_in, vc_in  # aliased to kc/vc
+               wqkv_qs, wqkv_sc, wo_qs, wo_sc, kc, vc,
+               out_x, knew_ref, vnew_ref,
+               qbuf, sbuf, qkvbuf, xr2_ref, aux2_ref, kvbuf,
+               qsem, ssem, kvsem):
         il = s_ref[0]
         n_past = s_ref[1]
         prep = _quant_prep_mosaic if mosaic_prep else _quant_prep
@@ -559,25 +561,24 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
 
             @pl.when(j == ot_qkv)
             def _():
-                # ---- rope + cache write + attention + wo prep ----------
+                # ---- rope + attention + wo prep -------------------------
+                # the new token's K/V never touch the cache here: a dynamic
+                # single-row cache DMA is not expressible (sub-tile store),
+                # so they go out as kernel outputs (written back by XLA) and
+                # enter the softmax as an explicit extra term.
                 q = _rope_row(qkvbuf[0:H, :], cos_ref[:, :], sin_ref[:, :])
                 k = _rope_row(qkvbuf[H : 2 * H, :], cos_ref[:, :], sin_ref[:, :])
                 v = qkvbuf[2 * H : 3 * H, :]
-                kcast[:, 0, :] = k.astype(kcast.dtype)
-                vcast[:, 0, :] = v.astype(vcast.dtype)
-                npp = pl.multiple_of(n_past, 1)
-                ck = pltpu.make_async_copy(
-                    kcast, kc.at[il, :, pl.ds(npp, 1), :], csem.at[0]
-                )
-                cv = pltpu.make_async_copy(
-                    vcast, vc.at[il, :, pl.ds(npp, 1), :], csem.at[1]
-                )
-                ck.start()
-                cv.start()
-                ck.wait()
-                cv.wait()
+                # round-trip through the cache dtype so the new token's own
+                # softmax term sees exactly what later steps will read back
+                # (the unfused path writes-then-reads the cache)
+                k = k.astype(kvbuf.dtype).astype(jnp.float32)
+                v = v.astype(kvbuf.dtype).astype(jnp.float32)
+                knew_ref[:, :] = k
+                vnew_ref[:, :] = v
 
-                n_live = n_past // ctx_chunk + 1
+                # chunks cover history j < n_past only
+                n_live = (n_past + ctx_chunk - 1) // ctx_chunk
                 for c0 in range(KVBUF - 1):
 
                     @pl.when(c0 < n_live)
@@ -616,7 +617,7 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                     jidx = c * ctx_chunk + jax.lax.broadcasted_iota(
                         jnp.int32, (H, ctx_chunk), 1
                     )
-                    s = jnp.where(jidx <= n_past, s, NEG_INF)
+                    s = jnp.where(jidx < n_past, s, NEG_INF)
                     m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
                     alpha = jnp.exp(m - m_new)
                     p = jnp.exp(s - m_new)
@@ -638,6 +639,13 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                 l0 = jnp.zeros((H, 1), jnp.float32)
                 a0 = jnp.zeros((H, LANES), jnp.float32)
                 m, l, acc = jax.lax.fori_loop(0, n_live, att_body, (m0, l0, a0))
+                # the new token's own (j == n_past) softmax term
+                sn = jnp.sum(q * k, axis=1, keepdims=True) * scale  # [H, 1]
+                m_f = jnp.maximum(m, sn)
+                alpha = jnp.exp(m - m_f)
+                pn = jnp.exp(sn - m_f)
+                l = l * alpha + pn
+                acc = acc * alpha + pn * v
                 ctx = acc / l  # [H, 128]
                 xr2, d2, c2 = prep(ctx.reshape(1, D))
                 xr2_ref[:, :] = xr2
@@ -681,10 +689,13 @@ def fused_attn_block(
     ctx_chunk: int = 128,
     interpret: bool = False,
 ):
-    """x + wo·attn(rope(qkv(norm(x)·w))) with the KV cache updated in place
-    (aliased outputs) — one kernel, continuous weight stream, O(n_past)
-    attention chunks.  Requires head_dim == 128 (each head = one tile).
-    Returns (x_out [1, D], k_cache, v_cache)."""
+    """x + wo·attn(rope(qkv(norm(x)·w))) — one kernel, continuous weight
+    stream, O(n_past) attention chunks; the cache is READ-only here (the
+    history j < n_past) and the new token's K/V come back as outputs for the
+    caller to write at position n_past (a dynamic single-row in-kernel cache
+    DMA is a sub-tile store Mosaic cannot express).  Requires head_dim == 128
+    (each head = one tile).  Returns (x_out [1, D], k_new [H,128],
+    v_new [H,128])."""
     L, ot_qkv, kh4, _ = wqkv_qs.shape
     _, H, n_ctx, dh = k_cache.shape
     D = x.shape[1]
@@ -714,15 +725,14 @@ def fused_attn_block(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((H, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((H, LANES), jnp.float32),
         ),
-        input_output_aliases={9: 1, 10: 2},
         scratch_shapes=[
             pltpu.VMEM((NBUF, kh4, LANES), jnp.int32),
             pltpu.VMEM((NBUF, nbw, LANES), jnp.float32),
@@ -730,12 +740,9 @@ def fused_attn_block(
             pltpu.VMEM((kh4, PHASES), jnp.float32),
             pltpu.VMEM((nbw, 2), jnp.float32),
             pltpu.VMEM((KVBUF, 2, H, ctx_chunk, LANES), k_cache.dtype),
-            pltpu.VMEM((H, 1, LANES), k_cache.dtype),
-            pltpu.VMEM((H, 1, LANES), v_cache.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((KVBUF, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
