@@ -58,24 +58,22 @@ def build_synthetic_q4_0_params(cfg, layout="v"):
             return jnp.ones(shape, jnp.float32)
         rows, cols = shape
         head = "tok_embeddings" in name or "output" in name
+        cols = (cols + 4095) // 4096 * 4096  # kernel in-dim padding (cvt parity)
+        ot = rows // 128
         if layout == "w" and not head:
-            # fused-layer W layout: [out/128, in/8, 128] qs + [out/128, in/32,
-            # 128] scales, NO in-dim padding (in % 128 == 0 suffices)
+            # fused-layer layout: V geometry ([out/128, 128, in/8] qs +
+            # [out/128, 128, in/32] scales) with lambda-permuted blocks —
+            # the permutation doesn't matter for synthetic bandwidth params
             from llama_swift_tpu.ops.q4_fused_layer import Q4_0TensorW
 
-            ot = rows // 128
-
-            def noise3w(d1, mod):
-                a = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 0)
-                b = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 1)
-                c = jax.lax.broadcasted_iota(jnp.int32, (ot, d1, 128), 2)
-                return (a * 7 + b * 13 + c * 3 + seed) % mod
+            def noise3w(d2, mod):
+                a = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 1)
+                b = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 2)
+                return (a * 7 + b * 13 + seed) % mod
 
             qs4w = noise3w(cols // 8, 2**31 - 1).astype(jnp.int32)
             scales_w = 0.001 + 1e-5 * noise3w(cols // 32, 97).astype(jnp.float32)
             return Q4_0TensorW(scales_w=scales_w, qs4w=qs4w)
-        cols = (cols + 4095) // 4096 * 4096  # kernel in-dim padding (cvt parity)
-        ot = rows // 128
         if layout == "v" or (layout == "w" and head):
             def noise3v(d2, mod):
                 a = jax.lax.broadcasted_iota(jnp.int32, (ot, 128, d2), 1)
@@ -110,9 +108,7 @@ def build_synthetic_q4_0_params(cfg, layout="v"):
             total_bytes += shape[0] * 4
         else:
             rows, cols = shape
-            head = "tok_embeddings" in name or "output" in name
-            if layout != "w" or head:
-                cols = (cols + 4095) // 4096 * 4096  # padded bytes stream
+            cols = (cols + 4095) // 4096 * 4096  # padded bytes stream
             total_bytes += rows * cols // 2 + rows * (cols // 32) * 4
     return tensors, total_bytes
 

@@ -133,6 +133,9 @@ def params_from_tensors(
             and a.shape[0] % 128 == 0
             and a.shape[1] % 128 == 0
         ):
+            in_pad = (a.shape[1] + 4095) // 4096 * 4096
+            if in_pad != a.shape[1]:
+                a = _pad_weight(a, in_to=in_pad)
             return jax.tree_util.tree_map(jnp.asarray, Q4_0TensorW.from_q4_0(a))
         return cvt(a)
 
@@ -676,15 +679,16 @@ def forward(
             w13, w2 = stacked["w13"], stacked["w2"]
             chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
             xr = x.astype(jnp.float32)
-            ff_real = w13.qs4w.shape[1] * 64  # out_tiles·128 / 2
+            ff_real = w13.qs4w.shape[1] * 64  # out_tiles * 128 / 2
             for il in range(cfg.n_layer):
-                xr, k_new, v_new = fused_attn_block(
+                delta, k_new, v_new = fused_attn_block(
                     xr, stacked["attention_norm"][il][None, :], cos, sin,
                     wqkv.qs4w, wqkv.scales_w, wo.qs4w, wo.scales_w,
                     kcache, vcache, il, n_past,
                     norm_type=cfg.norm_type, eps=cfg.norm_eps,
                     ctx_chunk=chunk, interpret=interp,
                 )
+                xr = xr + delta[:, 0, :].reshape(1, cfg.n_embd)
                 # in-place single-row cache writes on the donated buffers
                 kcache = jax.lax.dynamic_update_slice(
                     kcache, k_new[None, :, None, :].astype(kcache.dtype),
@@ -694,12 +698,13 @@ def forward(
                     vcache, v_new[None, :, None, :].astype(vcache.dtype),
                     (il, 0, n_past, 0),
                 )
-                xr = fused_ffn_block(
+                delta = fused_ffn_block(
                     xr, stacked["ffn_norm"][il][None, :],
                     w13.qs4w, w13.scales_w, w2.qs4w, w2.scales_w, il,
                     norm_type=cfg.norm_type, eps=cfg.norm_eps,
                     ff_real=ff_real, interpret=interp,
                 )
+                xr = xr + delta[:, 0, :].reshape(1, cfg.n_embd)
             new_cache = dict(cache)
             new_cache["k"] = kcache
             new_cache["v"] = vcache

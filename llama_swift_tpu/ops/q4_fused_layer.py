@@ -73,62 +73,48 @@ def block_perm(nb: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class Q4_0TensorW:
-    """Q4_0 weight packed for the fused-layer kernels (see module doc)."""
+    """Q4_0 weight packed for the fused-layer kernels: the V-layout geometry
+    (out rows on sublanes, packed in-dim on lanes — `q4_vpu_pallas`) with
+    the blocks PRE-PERMUTED by λ so the in-kernel Mosaic prep chain emits
+    activations in exactly the packed lane order.  The matvec core is the
+    measured-at-762-GB/s `_vpu_core` unchanged.  Requires in % 4096 == 0
+    (same lane-alignment rule as the V layout)."""
 
-    scales_w: jnp.ndarray  # f32 [out/128, in/32, 128]
-    qs4w: jnp.ndarray  # i32 [out/128, in/8, 128]
+    scales_w: jnp.ndarray  # f32 [out/128, 128, in/32]  (λ block order)
+    qs4w: jnp.ndarray  # i32 [out/128, 128, in/8]  (group-major over λ)
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.qs4w.shape[0] * LANES, self.qs4w.shape[1] * PHASES)
+        return (self.qs4w.shape[0] * LANES, self.qs4w.shape[2] * PHASES)
 
     @classmethod
     def from_q4_0(cls, w: Q4_0Tensor) -> "Q4_0TensorW":
+        from .q4_vpu_pallas import _pack_qs_v
+
         qs = np.asarray(w.qs)  # u8 [out, in/2]
         scales = np.asarray(w.scales).astype(np.float32)  # [out, nb]
         out, kh = qs.shape
         nb = kh // 16
-        assert out % LANES == 0 and nb % 4 == 0, (out, nb)
+        assert out % LANES == 0 and nb % LANES == 0, (out, nb)
         perm = block_perm(nb)
-        # permute logical blocks into packed order
         qs = qs.reshape(out, nb, 16)[:, perm].reshape(out, kh)
         scales = scales[:, perm]
-        # pack 4 bytes per i32 (8 consecutive elements of the packed order)
-        qs4 = qs.reshape(out, kh // 4, 4)
-        qs4 = (
-            qs4[:, :, 0].astype(np.uint32)
-            | (qs4[:, :, 1].astype(np.uint32) << 8)
-            | (qs4[:, :, 2].astype(np.uint32) << 16)
-            | (qs4[:, :, 3].astype(np.uint32) << 24)
-        ).view(np.int32)  # [out, in/8]; u32 #g of packed block λ at 4λ+g
-        # group-major sublane order: sublane o·nb + λ = u32 #o of block λ
-        qs4 = qs4.reshape(out, nb, 4).transpose(0, 2, 1).reshape(out, nb * 4)
         ot = out // LANES
-        # out rows onto lanes: [ot, in/8, 128] / [ot, nb, 128]
-        qs4 = qs4.reshape(ot, LANES, nb * 4).transpose(0, 2, 1)
-        scales = scales.reshape(ot, LANES, nb).transpose(0, 2, 1)
         return cls(
-            scales_w=np.ascontiguousarray(scales),
-            qs4w=np.ascontiguousarray(qs4),
+            scales_w=np.ascontiguousarray(scales.reshape(ot, LANES, nb)),
+            qs4w=_pack_qs_v(qs),
         )
 
     def to_q4_0(self) -> Q4_0Tensor:
-        qs4 = np.asarray(self.qs4w)  # [ot, kh4, 128]
+        from .q4_vpu_pallas import _unpack_qs_v
+
+        qs = _unpack_qs_v(self.qs4w)
         scales = np.asarray(self.scales_w)
-        ot, kh4, _ = qs4.shape
-        nb = kh4 // 4
-        out = ot * LANES
-        qs4 = qs4.transpose(0, 2, 1).reshape(out, kh4)
-        scales = scales.transpose(0, 2, 1).reshape(out, nb)
-        qs4 = qs4.reshape(out, 4, nb).transpose(0, 2, 1).reshape(out, kh4)
-        qs = np.empty((out, kh4, 4), dtype=np.uint8)
-        u32 = qs4.view(np.uint32)
-        for b in range(4):
-            qs[:, :, b] = ((u32 >> (8 * b)) & 0xFF).astype(np.uint8)
-        qs = qs.reshape(out, kh4 * 4)
+        ot, lt, nb = scales.shape
+        out = ot * lt
         inv = np.argsort(block_perm(nb))
-        qs = qs.reshape(out, nb, 16)[:, inv].reshape(out, kh4 * 4)
-        return Q4_0Tensor(scales=scales[:, inv], qs=qs)
+        qs = qs.reshape(out, nb, 16)[:, inv].reshape(out, nb * 16)
+        return Q4_0Tensor(scales=scales.reshape(out, nb)[:, inv], qs=qs)
 
 
 jax.tree_util.register_pytree_node(
@@ -139,27 +125,16 @@ jax.tree_util.register_pytree_node(
 
 
 def dequantize_q4_0w_jnp(w: Q4_0TensorW, dtype=jnp.float32) -> jnp.ndarray:
-    """Dense [out, in] from the W layout (prefill / fallback path)."""
-    qs4 = jnp.asarray(w.qs4w).view(jnp.uint32)  # [ot, kh4, 128]
-    scales = jnp.asarray(w.scales_w).astype(jnp.float32)  # [ot, nb, 128]
-    ot, kh4, _ = qs4.shape
-    nb = kh4 // 4
-    out = ot * LANES
-    qs4 = qs4.transpose(0, 2, 1).reshape(out, kh4)
-    scales = scales.transpose(0, 2, 1).reshape(out, nb)
-    qs4 = qs4.reshape(out, 4, nb).transpose(0, 2, 1)  # [out, nb(λ), 4(g)]
-    vals = jnp.stack(
-        [
-            ((qs4 >> jnp.uint32(4 * p)) & jnp.uint32(0xF)).astype(jnp.float32)
-            - 8.0
-            for p in range(PHASES)
-        ],
-        axis=-1,
-    )  # [out, nb, 4, 8] — packed element (λ, 8g+p)
-    vals = vals.reshape(out, nb, QK) * scales[:, :, None]
+    """Dense [out, in] from the fused layout (prefill / fallback path)."""
+    from .q4_vpu_pallas import Q4_0TensorV, dequantize_q4_0v_jnp
+
+    dense = dequantize_q4_0v_jnp(
+        Q4_0TensorV(scales_v=w.scales_w, qs4v=w.qs4w), dtype=dtype
+    )  # λ block order
+    out, in_dim = dense.shape
+    nb = in_dim // QK
     inv = jnp.asarray(np.argsort(block_perm(nb)))
-    vals = vals[:, inv]  # undo the block permutation
-    return vals.reshape(out, nb * QK).astype(dtype)
+    return dense.reshape(out, nb, QK)[:, inv].reshape(out, in_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -181,23 +156,23 @@ def _ggml_norm_row(x, w, norm_type: str, eps: float):
     return (x / jnp.sqrt(ms + eps)) * w
 
 
-def _xsc_row(kh4: int):
-    """[kh4? no — [1, 8] lane row of 16^-p (p<7) and 1.0 (p=7), built from
-    iota (array constants cannot be captured by pallas kernels)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, PHASES), 1)
+def _xsc_col():
+    """[8, 1] column of 16^-p (p<7) and 1.0 (p=7), built from iota (array
+    constants cannot be captured by pallas kernels)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (PHASES, 1), 0)
     return jnp.where(p == 7, 1.0, jnp.exp2(-4.0 * p.astype(jnp.float32)))
 
 
 def _quant_prep(h):
-    """h [1, D] f32 → (xr_cols [D/8, 8] ·16^-p, d_col [nb,1], corr_col [nb,1])
-    in PACKED block order (block λ = g'·R + r holds logical block 4r + g';
-    the permutation is the structured reshape/transpose below — no gathers).
+    """h [1, D] f32 → (xr [8, D/8] phase rows ·16^-p, aux [2, nb]) in PACKED
+    λ block order — the operand set of ``q4_vpu_pallas._vpu_core`` (aux row
+    0: activation block scales d_x; row 1: 8·Σ_block q).
 
     Exact reference activation quantization: per-32-block amax/7 scale,
     round half away from zero (``ggml.c:568-601``).
     NOTE: this reshape formulation is the interpret-mode specification; the
-    Mosaic path substitutes the roll/transpose formulation (same outputs).
-    """
+    Mosaic path substitutes the roll/slice/concat formulation (tested
+    bit-equal)."""
     D = h.shape[1]
     nb = D // QK
     R = nb // 4
@@ -211,19 +186,20 @@ def _quant_prep(h):
     def pack(a):  # [nb, ...] logical block order -> packed order λ = g'R + r
         return a.reshape(R, 4, *a.shape[1:]).swapaxes(0, 1).reshape(a.shape)
 
-    qp = pack(q)
-    xr = qp.reshape(nb, 4, PHASES).transpose(1, 0, 2).reshape(4 * nb, PHASES)
-    xr = xr * _xsc_row(None)
-    return xr, pack(d).reshape(nb, 1), pack(corr).reshape(nb, 1)
+    qp = pack(q)  # [nb(λ), 32]
+    xr = qp.reshape(nb, 4, PHASES).transpose(2, 1, 0).reshape(PHASES, 4 * nb)
+    xr = xr * _xsc_col()
+    aux = jnp.stack([pack(d), pack(corr)])  # [2, nb]
+    return xr, aux
 
 
 def _quant_prep_mosaic(h):
     """Mosaic-lowerable `_quant_prep`: identical outputs, expressed with only
     ops the TPU compiler accepts (probed r3): [1,N]→[N/128,128] reshape,
     lane rolls (segmented per-32-block max/sum + broadcast), 2-D transposes,
-    contiguous/strided sublane slices, lane/sublane concatenation.  The
-    natural reshape/transpose formulation crashes Mosaic on lane-splitting
-    reshapes; this one never splits lanes."""
+    contiguous sublane slices, lane/sublane concatenation.  The natural
+    reshape formulation crashes Mosaic on lane-splitting reshapes; this one
+    never splits lanes."""
     D = h.shape[1]
     R = D // LANES
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) % QK
@@ -252,39 +228,17 @@ def _quant_prep_mosaic(h):
         for o in range(4)
         for g in range(4)
     ]
-    xr8 = jnp.concatenate(pieces, axis=1)  # [8, 4·4·R]; lane = o·4R + g'·R + r
-    xr_cols = xr8.T * _xsc_row(None)  # [16R, 8]
+    xr = jnp.concatenate(pieces, axis=1)  # [8, 16R]; lane = o·4R + g'·R + r
+    xr = xr * _xsc_col()
 
-    def col(full):  # [R,128] block-broadcast stats -> [4R, 1] packed column
-        # segment-start rows of fullᵀ via a leading split + static index
-        # (a strided sublane slice of a VALUE lowers to an unsupported
-        # gather; refs would support it, values don't)
-        t4 = full.T.reshape(4, QK, R)[:, 0, :]  # [4(g'), R(r)]
+    def row(full):  # [R,128] block-broadcast stats -> [1, 4R] packed lane row
+        t4 = full.T.reshape(4, QK, R)[:, 0, :]  # [4(g'), R] at segment starts
         return jnp.concatenate(
-            [t4[g : g + 1, :].T for g in range(4)], axis=0
-        )  # [4R, 1], sublane λ = g'·R + r
+            [t4[g : g + 1, :] for g in range(4)], axis=1
+        )  # [1, 4R], lane λ = g'·R + r
 
-    return xr_cols, col(d_full), col(corr_full)
-
-
-def _w_core(xl, xr_cols, d_col, corr_col, sc):
-    """One W-layout tile: xl i32 [kh4, 128(out)], xr_cols [kh4, 8],
-    d_col/corr_col [nb, 1], sc [nb, 128] → y [1, 128] f32 (exact int
-    semantics as `q4_vpu_pallas._vpu_core`, transposed orientation)."""
-    kh4 = xl.shape[0]
-    nb = kh4 // 4
-    acc = (xl & _MASKS[0]).astype(jnp.float32) * xr_cols[:, 0:1]
-    for p in range(1, 7):
-        acc = acc + (xl & _MASKS[p]).astype(jnp.float32) * xr_cols[:, p : p + 1]
-    top = jax.lax.shift_right_logical(xl, 28)
-    acc = acc + top.astype(jnp.float32) * xr_cols[:, 7:8]
-    accb = (
-        acc[0 * nb : 1 * nb]
-        + acc[1 * nb : 2 * nb]
-        + acc[2 * nb : 3 * nb]
-        + acc[3 * nb : 4 * nb]
-    )  # [nb, 128]
-    return jnp.sum((accb - corr_col) * (sc * d_col), axis=0, keepdims=True)
+    aux = jnp.concatenate([row(d_full), row(corr_full)], axis=0)  # [2, nb]
+    return xr, aux
 
 
 def _rope_row(x, cos_row, sin_srow):
@@ -316,24 +270,35 @@ def rope_vectors(n_past, head_dim: int = 128):
 # ---------------------------------------------------------------------------
 
 
+def _pad_h(h, kh4: int):
+    """Zero-pad activations along lanes to the weight's (4096-aligned)
+    in-dim; zero blocks quantize to zero and contribute nothing."""
+    pad = kh4 * PHASES - h.shape[1]
+    if pad:
+        h = jnp.concatenate([h, jnp.zeros((1, pad), jnp.float32)], axis=1)
+    return h
+
+
 def _make_ffn_kernel(ot13: int, ot2: int, kh4_13: int, kh4_2: int,
                      norm_type: str, eps: float, mosaic_prep: bool):
+    from .q4_vpu_pallas import _vpu_core
+
     nb13 = kh4_13 // 4
     nb2 = kh4_2 // 4
     steps = ot13 + ot2
     in2 = kh4_2 * PHASES
 
     def kernel(s_ref, x_ref, nw_ref, w13_qs, w13_sc, w2_qs, w2_sc,
-               out_ref, qbuf, sbuf, gbuf, xr2_ref, aux2_ref, qsem, ssem):
+               out_ref, qbuf, sbuf, gbuf, xr_ref, aux_ref, qsem, ssem):
         il = s_ref[0]
 
         def w13_copies(slot, j):
             return (
                 pltpu.make_async_copy(
-                    w13_qs.at[il, j], qbuf.at[slot, :kh4_13], qsem.at[slot]
+                    w13_qs.at[il, j], qbuf.at[slot, :, :kh4_13], qsem.at[slot]
                 ),
                 pltpu.make_async_copy(
-                    w13_sc.at[il, j], sbuf.at[slot, :nb13], ssem.at[slot]
+                    w13_sc.at[il, j], sbuf.at[slot, :, :nb13], ssem.at[slot]
                 ),
             )
 
@@ -343,7 +308,7 @@ def _make_ffn_kernel(ot13: int, ot2: int, kh4_13: int, kh4_2: int,
                     w2_qs.at[il, j - ot13], qbuf.at[slot], qsem.at[slot]
                 ),
                 pltpu.make_async_copy(
-                    w2_sc.at[il, j - ot13], sbuf.at[slot, :nb2], ssem.at[slot]
+                    w2_sc.at[il, j - ot13], sbuf.at[slot, :, :nb2], ssem.at[slot]
                 ),
             )
 
@@ -368,7 +333,7 @@ def _make_ffn_kernel(ot13: int, ot2: int, kh4_13: int, kh4_2: int,
         # norm + quant/prep overlap the warm-up DMAs
         prep = _quant_prep_mosaic if mosaic_prep else _quant_prep
         h = _ggml_norm_row(x_ref[:, :], nw_ref[:, :], norm_type, eps)
-        xr1, d1, c1 = prep(h)
+        xr1, aux1 = prep(_pad_h(h, kh4_13))
 
         def body(j, carry):
             slot = j % NBUF
@@ -379,35 +344,31 @@ def _make_ffn_kernel(ot13: int, ot2: int, kh4_13: int, kh4_2: int,
                 a, b = w13_copies(slot, j)
                 a.wait()
                 b.wait()
-                y = _w_core(qbuf[slot, :kh4_13], xr1, d1, c1, sbuf[slot, :nb13])
-                gbuf[pl.ds(j, 1), :] = y
+                y = _vpu_core(
+                    qbuf[slot, :, :kh4_13], xr1, aux1, sbuf[slot, :, :nb13]
+                )  # [128, 1]
+                gbuf[j] = jnp.broadcast_to(y.T, (8, LANES))
 
             @pl.when(j == ot13)
             def _():
                 # SwiGLU + w2 prep — w2's tiles already streaming
-                g1 = gbuf[0 : ot13 // 2]
-                g3 = gbuf[ot13 // 2 : ot13]
+                g1 = gbuf[0 : ot13 // 2, 0, :]
+                g3 = gbuf[ot13 // 2 : ot13, 0, :]
                 gate = (g1 / (1.0 + jnp.exp(-g1))) * g3  # exact f32 silu
-                pad_rows = in2 // LANES - ot13 // 2
-                gpad = jnp.concatenate(
-                    [gate, jnp.zeros((pad_rows, LANES), jnp.float32)], axis=0
-                ) if pad_rows else gate
-                xr2, d2, c2 = prep(gpad.reshape(1, in2))
-                xr2_ref[:, :] = xr2
-                aux2_ref[:, 0:1] = d2
-                aux2_ref[:, 1:2] = c2
+                xr2, aux2 = prep(_pad_h(gate.reshape(1, -1), kh4_2))
+                xr_ref[:, :] = xr2
+                aux_ref[:, :] = aux2
 
             @pl.when(j >= ot13)
             def _():
                 a, b = w2_copies(slot, j)
                 a.wait()
                 b.wait()
-                y = _w_core(
-                    qbuf[slot], xr2_ref[:, :], aux2_ref[:, 0:1],
-                    aux2_ref[:, 1:2], sbuf[slot, :nb2],
+                y = _vpu_core(
+                    qbuf[slot], xr_ref[:, :], aux_ref[:, :],
+                    sbuf[slot, :, :nb2],
                 )
-                o = pl.multiple_of((j - ot13) * LANES, LANES)
-                out_ref[:, pl.ds(o, LANES)] = x_ref[:, pl.ds(o, LANES)] + y
+                out_ref[j - ot13] = jnp.broadcast_to(y.T, (8, LANES))
 
             return carry
 
@@ -422,19 +383,21 @@ def _make_ffn_kernel(ot13: int, ot2: int, kh4_13: int, kh4_2: int,
 def fused_ffn_block(
     x,  # [1, D] f32
     ffn_norm,  # [1, D] f32
-    w13_qs, w13_sc,  # stacked W layout [L, ot13, kh4_13, 128] / [.., nb13, ..]
-    w2_qs, w2_sc,  # [L, ot2, kh4_2, 128] / [.., nb2, ..]
+    w13_qs, w13_sc,  # stacked fused layout [L, ot13, 128, kh4_13]/[.., nb13]
+    w2_qs, w2_sc,  # [L, ot2, 128, kh4_2] / [.., 128, nb2]
     layer_idx,
     *,
     norm_type: str = "layernorm",
     eps: float = 1e-5,
-    ff_real: int = 0,  # real (unpadded) n_ff — gbuf rows = 2*ff_real/128
+    ff_real: int = 0,  # real (unpadded) n_ff — gbuf live rows = 2*ff_real/128
     interpret: bool = False,
 ):
-    """x + w2·(silu(g1)⊙g3) with [g1;g3] = w13·quant(norm(x)·w) — one kernel,
-    one continuous weight-DMA stream."""
-    L, ot13, kh4_13, _ = w13_qs.shape
-    _, ot2, kh4_2, _ = w2_qs.shape
+    """w2·(silu(g1)⊙g3) with [g1;g3] = w13·quant(norm(x)·w) — one kernel, one
+    continuous weight-DMA stream.  Returns delta tiles [ot2, 8, 128] (row 0
+    live); the caller adds the residual (a tile-aligned store is the only
+    fast dynamic store shape, so the [1, D] assembly happens in XLA)."""
+    L, ot13, _, kh4_13 = w13_qs.shape
+    _, ot2, _, kh4_2 = w2_qs.shape
     D = x.shape[1]
     assert ot13 == 2 * ff_real // LANES, (ot13, ff_real)
     kernel = _make_ffn_kernel(
@@ -452,13 +415,13 @@ def fused_ffn_block(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ot2, 8, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, kh4_2, LANES), jnp.int32),
-            pltpu.VMEM((NBUF, max(kh4_13, kh4_2) // 4, LANES), jnp.float32),
-            pltpu.VMEM((ot13, LANES), jnp.float32),
-            pltpu.VMEM((kh4_2, PHASES), jnp.float32),
-            pltpu.VMEM((kh4_2 // 4, 2), jnp.float32),
+            pltpu.VMEM((NBUF, LANES, kh4_2), jnp.int32),
+            pltpu.VMEM((NBUF, LANES, max(kh4_13, kh4_2) // 4), jnp.float32),
+            pltpu.VMEM((ot13, 8, LANES), jnp.float32),
+            pltpu.VMEM((PHASES, kh4_2), jnp.float32),
+            pltpu.VMEM((2, kh4_2 // 4), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -479,14 +442,16 @@ def fused_ffn_block(
 
 def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                       norm_type: str, eps: float, mosaic_prep: bool):
+    from .q4_vpu_pallas import _vpu_core
+
     nb = kh4 // 4
     steps = ot_qkv + H  # wqkv tiles then wo tiles (wo out = D = H·128)
     D = H * LANES
 
     def kernel(s_ref, x_ref, nw_ref, cos_ref, sin_ref,
                wqkv_qs, wqkv_sc, wo_qs, wo_sc, kc, vc,
-               out_x, knew_ref, vnew_ref,
-               qbuf, sbuf, qkvbuf, xr2_ref, aux2_ref, kvbuf,
+               out_ref, knew_ref, vnew_ref,
+               qbuf, sbuf, qkvbuf, xr_ref, aux_ref, kvbuf,
                qsem, ssem, kvsem):
         il = s_ref[0]
         n_past = s_ref[1]
@@ -531,7 +496,7 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
             start(jnp.int32(w))
 
         h = _ggml_norm_row(x_ref[:, :], nw_ref[:, :], norm_type, eps)
-        xr1, d1, c1 = prep(h)
+        xr1, aux1 = prep(_pad_h(h, kh4))
         scale = 1.0 / float(np.sqrt(128.0))
 
         def kv_copy(slot, c):
@@ -556,22 +521,23 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                 a, b = qkv_copies(slot, j)
                 a.wait()
                 b.wait()
-                y = _w_core(qbuf[slot], xr1, d1, c1, sbuf[slot])
-                qkvbuf[pl.ds(j, 1), :] = y
+                y = _vpu_core(qbuf[slot], xr1, aux1, sbuf[slot])
+                qkvbuf[j] = jnp.broadcast_to(y.T, (8, LANES))
 
             @pl.when(j == ot_qkv)
             def _():
                 # ---- rope + attention + wo prep -------------------------
-                # the new token's K/V never touch the cache here: a dynamic
-                # single-row cache DMA is not expressible (sub-tile store),
-                # so they go out as kernel outputs (written back by XLA) and
-                # enter the softmax as an explicit extra term.
-                q = _rope_row(qkvbuf[0:H, :], cos_ref[:, :], sin_ref[:, :])
-                k = _rope_row(qkvbuf[H : 2 * H, :], cos_ref[:, :], sin_ref[:, :])
-                v = qkvbuf[2 * H : 3 * H, :]
+                # the new token's K/V never touch the cache here (a dynamic
+                # single-row cache DMA is a sub-tile store Mosaic cannot
+                # express): they go out as kernel outputs (written back by
+                # XLA) and enter the softmax as an explicit extra term.
+                q = _rope_row(qkvbuf[0:H, 0, :], cos_ref[:, :], sin_ref[:, :])
+                k = _rope_row(
+                    qkvbuf[H : 2 * H, 0, :], cos_ref[:, :], sin_ref[:, :]
+                )
+                v = qkvbuf[2 * H : 3 * H, 0, :]
                 # round-trip through the cache dtype so the new token's own
                 # softmax term sees exactly what later steps will read back
-                # (the unfused path writes-then-reads the cache)
                 k = k.astype(kvbuf.dtype).astype(jnp.float32)
                 v = v.astype(kvbuf.dtype).astype(jnp.float32)
                 knew_ref[:, :] = k
@@ -647,22 +613,17 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                 l = l * alpha + pn
                 acc = acc * alpha + pn * v
                 ctx = acc / l  # [H, 128]
-                xr2, d2, c2 = prep(ctx.reshape(1, D))
-                xr2_ref[:, :] = xr2
-                aux2_ref[:, 0:1] = d2
-                aux2_ref[:, 1:2] = c2
+                xr2, aux2 = prep(_pad_h(ctx.reshape(1, D), kh4))
+                xr_ref[:, :] = xr2
+                aux_ref[:, :] = aux2
 
             @pl.when(j >= ot_qkv)
             def _():
                 a, b = wo_copies(slot, j)
                 a.wait()
                 b.wait()
-                y = _w_core(
-                    qbuf[slot], xr2_ref[:, :], aux2_ref[:, 0:1],
-                    aux2_ref[:, 1:2], sbuf[slot],
-                )
-                o = pl.multiple_of((j - ot_qkv) * LANES, LANES)
-                out_x[:, pl.ds(o, LANES)] = x_ref[:, pl.ds(o, LANES)] + y
+                y = _vpu_core(qbuf[slot], xr_ref[:, :], aux_ref[:, :], sbuf[slot])
+                out_ref[j - ot_qkv] = jnp.broadcast_to(y.T, (8, LANES))
 
             return carry
 
@@ -679,9 +640,9 @@ def fused_attn_block(
     x,  # [1, D] f32
     attn_norm,  # [1, D] f32
     cos_row, sin_row,  # [1, 128] f32 rope vectors for position n_past
-    wqkv_qs, wqkv_sc,  # stacked W layout [L, 3H, kh4, 128] / [L, 3H, nb, 128]
-    wo_qs, wo_sc,  # [L, H, kh4, 128] / [L, H, nb, 128]
-    k_cache, v_cache,  # [L, H, n_ctx, 128]
+    wqkv_qs, wqkv_sc,  # stacked fused layout [L, 3H, 128, kh4]/[L, 3H, 128, nb]
+    wo_qs, wo_sc,  # [L, H, 128, kh4] / [L, H, 128, nb]
+    k_cache, v_cache,  # [L, H, n_ctx, 128] (read-only history)
     layer_idx, n_past,
     *,
     norm_type: str = "layernorm",
@@ -689,14 +650,13 @@ def fused_attn_block(
     ctx_chunk: int = 128,
     interpret: bool = False,
 ):
-    """x + wo·attn(rope(qkv(norm(x)·w))) — one kernel, continuous weight
-    stream, O(n_past) attention chunks; the cache is READ-only here (the
-    history j < n_past) and the new token's K/V come back as outputs for the
-    caller to write at position n_past (a dynamic single-row in-kernel cache
-    DMA is a sub-tile store Mosaic cannot express).  Requires head_dim == 128
-    (each head = one tile).  Returns (x_out [1, D], k_new [H,128],
-    v_new [H,128])."""
-    L, ot_qkv, kh4, _ = wqkv_qs.shape
+    """wo·attn(rope(qkv(norm(x)·w))) — one kernel, continuous weight stream,
+    O(n_past) attention chunks; the cache is READ-only here (the history
+    j < n_past) and the new token's K/V come back as outputs for the caller
+    to write at position n_past.  Requires head_dim == 128 (each head = one
+    tile).  Returns (delta tiles [H, 8, 128] (row 0 live; caller adds the
+    residual), k_new [H,128], v_new [H,128])."""
+    L, ot_qkv, _, kh4 = wqkv_qs.shape
     _, H, n_ctx, dh = k_cache.shape
     D = x.shape[1]
     assert dh == LANES and H * LANES == D and ot_qkv == 3 * H, (H, D, ot_qkv)
@@ -729,16 +689,16 @@ def fused_attn_block(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((H, 8, LANES), jnp.float32),
             jax.ShapeDtypeStruct((H, LANES), jnp.float32),
             jax.ShapeDtypeStruct((H, LANES), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, kh4, LANES), jnp.int32),
-            pltpu.VMEM((NBUF, nbw, LANES), jnp.float32),
-            pltpu.VMEM((3 * H, LANES), jnp.float32),
-            pltpu.VMEM((kh4, PHASES), jnp.float32),
-            pltpu.VMEM((nbw, 2), jnp.float32),
+            pltpu.VMEM((NBUF, LANES, kh4), jnp.int32),
+            pltpu.VMEM((NBUF, LANES, nbw), jnp.float32),
+            pltpu.VMEM((3 * H, 8, LANES), jnp.float32),
+            pltpu.VMEM((PHASES, kh4), jnp.float32),
+            pltpu.VMEM((2, nbw), jnp.float32),
             pltpu.VMEM((KVBUF, 2, H, ctx_chunk, LANES), k_cache.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),

@@ -274,10 +274,15 @@ def linear(
         # (models/llama.forward); other shapes (prefill) dense-dequant here
         if quantize_activations:
             x = fake_quantize_q4_0(x)
+        from .q4_vpu_pallas import _pad_x
+
+        lead = x.shape[:-1]
+        n_rows = int(np.prod(lead)) if lead else 1
+        in_dim = w.qs4w.shape[2] * 8
+        x2 = _pad_x(x.reshape(n_rows, x.shape[-1]).astype(compute_dtype), in_dim)
         wd = dequantize_q4_0w_jnp(w, dtype=compute_dtype)
-        return jnp.dot(
-            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
-        ).astype(compute_dtype)
+        y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
+        return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         if quantize_activations:
             x = fake_quantize_q4_0(x)

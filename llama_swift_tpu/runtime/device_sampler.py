@@ -120,36 +120,42 @@ def sampled_decode_loop(
     scfg: SamplingConfig,
     max_steps: int,
 ):
-    """Generate up to ``max_steps`` tokens fully on device — forward + exact
-    reference sampling per step, zero host round trips.  ``n_steps`` is a
-    traced value (lax.while_loop), so every chunk size including the final
-    partial chunk reuses ONE compiled program.
+    """Generate ``max_steps`` tokens fully on device — forward + exact
+    reference sampling per step under ONE ``lax.scan`` (the same structure
+    as ``greedy_decode_loop``, which benchmarks at the kernel rate; a
+    dynamic-trip ``while_loop`` variant measured ~70× slower at 7B on the
+    tunneled backend), zero host round trips.  ``n_steps`` masks the ring
+    updates of trailing steps so a final PARTIAL chunk can reuse the same
+    compiled program: steps ≥ n_steps still run the forward (their cache
+    writes land beyond the consumed window and are overwritten by the next
+    real token, the same staleness invariant the prefill padding relies on)
+    but do not advance the ring.
 
-    Returns (tokens [max_steps] (entries >= n_steps are zero-padding),
+    Returns (tokens [max_steps] (entries >= n_steps are garbage — ignore),
     cache, ring, ring_pos, key).
     """
     from ..models import llama as model_lib
 
     r = ring.shape[0]
-    toks0 = jnp.zeros((max_steps,), jnp.int32)
 
-    def cond(state):
-        return state[0] < n_steps
-
-    def body(state):
-        i, token, np_, c, ring, pos, key, toks = state
+    def body(carry, i):
+        token, np_, c, ring, pos, key = carry
         logits, c = model_lib.forward(params, token[None], np_, c, cfg)
         key, sub = jax.random.split(key)
         nxt = sample_token(logits[0], ring, sub, scfg)
-        ring = jax.lax.dynamic_update_index_in_dim(ring, nxt, pos, 0)
-        toks = jax.lax.dynamic_update_index_in_dim(toks, nxt, i, 0)
-        return (i + 1, nxt, np_ + 1, c, ring, (pos + 1) % r, key, toks)
+        live = i < n_steps
+        ring = jnp.where(
+            live,
+            jax.lax.dynamic_update_index_in_dim(ring, nxt, pos, 0),
+            ring,
+        )
+        pos = jnp.where(live, (pos + 1) % r, pos)
+        return (nxt, np_ + 1, c, ring, pos, key), nxt
 
-    state = (
-        jnp.int32(0), last_token, n_past, cache, ring,
-        jnp.asarray(ring_pos, jnp.int32) % r, key, toks0,
-    )
-    (_, token, np_, cache, ring, pos, key, toks) = jax.lax.while_loop(
-        cond, body, state
+    (token, np_, cache, ring, pos, key), toks = jax.lax.scan(
+        body,
+        (last_token, n_past, cache, ring,
+         jnp.asarray(ring_pos, jnp.int32) % r, key),
+        jnp.arange(max_steps, dtype=jnp.int32),
     )
     return toks, cache, ring, pos, key

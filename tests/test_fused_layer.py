@@ -34,7 +34,7 @@ def rng():
 
 
 def test_w_layout_roundtrip(rng):
-    w = Q4_0Tensor.quantize(rng.standard_normal((256, 1152)).astype(np.float32) * 0.05)
+    w = Q4_0Tensor.quantize(rng.standard_normal((256, 4096)).astype(np.float32) * 0.05)
     ww = Q4_0TensorW.from_q4_0(w)
     back = ww.to_q4_0()
     np.testing.assert_array_equal(np.asarray(back.qs), np.asarray(w.qs))
@@ -52,22 +52,20 @@ def test_prep_formulations_bit_equal(rng, D):
     h = jnp.asarray(rng.standard_normal((1, D)).astype(np.float32))
 
     def runk(fn):
-        def k(h_ref, a_ref, b_ref, c_ref):
-            xr, d, c = fn(h_ref[:, :])
+        def k(h_ref, a_ref, b_ref):
+            xr, aux = fn(h_ref[:, :])
             a_ref[:, :] = xr
-            b_ref[:, :] = d
-            c_ref[:, :] = c
+            b_ref[:, :] = aux
 
         return pl.pallas_call(
             k,
             out_shape=(
-                jax.ShapeDtypeStruct((D // 8, 8), jnp.float32),
-                jax.ShapeDtypeStruct((D // 32, 1), jnp.float32),
-                jax.ShapeDtypeStruct((D // 32, 1), jnp.float32),
+                jax.ShapeDtypeStruct((8, D // 8), jnp.float32),
+                jax.ShapeDtypeStruct((2, D // 32), jnp.float32),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=tuple(
-                pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)
+                pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)
             ),
             interpret=True,
         )(h)
@@ -83,8 +81,8 @@ def test_fused_ffn_block(rng):
     w1 = Q4_0Tensor.quantize(rng.standard_normal((FF, D)).astype(np.float32) * 0.05)
     w3 = Q4_0Tensor.quantize(rng.standard_normal((FF, D)).astype(np.float32) * 0.05)
     w2 = Q4_0Tensor.quantize(rng.standard_normal((D, FF)).astype(np.float32) * 0.05)
-    w13W = Q4_0TensorW.from_q4_0(_concat_out([w1, w3]))
-    w2W = Q4_0TensorW.from_q4_0(w2)
+    w13W = Q4_0TensorW.from_q4_0(_pad_weight(_concat_out([w1, w3]), in_to=4096))
+    w2W = Q4_0TensorW.from_q4_0(_pad_weight(w2, in_to=4096))
     x = (rng.standard_normal((1, D)) * 0.3).astype(np.float32)
     nw = (1.0 + 0.05 * rng.standard_normal(D)).astype(np.float32)
 
@@ -92,7 +90,7 @@ def test_fused_ffn_block(rng):
     hq = fake_quantize_q4_0(h)
     g13 = hq @ jnp.asarray(_concat_out([w1, w3]).dequantize()).T
     gate = jax.nn.silu(g13[:, :FF]) * g13[:, FF:]
-    ref = jnp.asarray(x) + fake_quantize_q4_0(gate) @ jnp.asarray(w2.dequantize()).T
+    ref = fake_quantize_q4_0(gate) @ jnp.asarray(w2.dequantize()).T  # delta
 
     out = fused_ffn_block(
         jnp.asarray(x), jnp.asarray(nw)[None, :],
@@ -100,7 +98,8 @@ def test_fused_ffn_block(rng):
         jnp.asarray(w2W.qs4w)[None], jnp.asarray(w2W.scales_w)[None],
         jnp.int32(0), ff_real=FF, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+    got = np.asarray(out)[:, 0, :].reshape(1, D)  # delta tiles, row 0 live
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=3e-4, atol=3e-4)
 
 
 @pytest.mark.parametrize("n_past", [0, 67, 130])
@@ -113,8 +112,8 @@ def test_fused_attn_block(rng, n_past):
     ]
     wq, wk, wv, wo = ws
     wqkv = _concat_out([wq, wk, wv])
-    wqkvW = Q4_0TensorW.from_q4_0(wqkv)
-    woW = Q4_0TensorW.from_q4_0(wo)
+    wqkvW = Q4_0TensorW.from_q4_0(_pad_weight(wqkv, in_to=4096))
+    woW = Q4_0TensorW.from_q4_0(_pad_weight(wo, in_to=4096))
     x = (rng.standard_normal((1, D)) * 0.3).astype(np.float32)
     nw = (1.0 + 0.05 * rng.standard_normal(D)).astype(np.float32)
     kc = (rng.standard_normal((1, H, CTX, DH)) * 0.5).astype(np.float32)
@@ -129,9 +128,9 @@ def test_fused_attn_block(rng, n_past):
     kc_ref = jnp.asarray(kc).at[0, :, n_past, :].set(kh)
     vc_ref = jnp.asarray(vc).at[0, :, n_past, :].set(vh)
     ctx = reference_decode_attention(qh, kc_ref[0], vc_ref[0], n_past)
-    ref = jnp.asarray(x) + fake_quantize_q4_0(ctx.reshape(1, D)) @ jnp.asarray(
+    ref = fake_quantize_q4_0(ctx.reshape(1, D)) @ jnp.asarray(
         wo.dequantize()
-    ).T
+    ).T  # delta (residual added by the caller)
 
     cos, sin = rope_vectors(jnp.int32(n_past), DH)
     # the kernel reads only history j < n_past from the cache and returns
@@ -149,7 +148,8 @@ def test_fused_attn_block(rng, n_past):
     np.testing.assert_allclose(
         np.asarray(v_new), np.asarray(vh), rtol=2e-5, atol=2e-5
     )
-    np.testing.assert_allclose(np.asarray(xo), np.asarray(ref), rtol=5e-4, atol=5e-4)
+    got = np.asarray(xo)[:, 0, :].reshape(1, D)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=5e-4, atol=5e-4)
 
 
 def test_model_fused_matches_v_layout(tiny_cfg, tiny_tensors):
