@@ -30,8 +30,19 @@ import os
 import sys
 import time
 
-# persistent compile cache: repeat runs skip the (slow, remote) TPU compile
+# persistent compile cache: repeat runs skip the (slow, remote) TPU compile.
+# The env var alone is not reliably picked up on the axon backend; set the
+# config explicitly once jax is imported (see _enable_compile_cache below).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
@@ -296,6 +307,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from llama_swift_tpu.models import llama as model_lib
 
