@@ -47,6 +47,89 @@ def _enable_compile_cache():
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
 
+def synthetic_weight_bytes(cfg, layout="v"):
+    """Packed Q4_0 HBM bytes for the whole model (incl. the layout's kernel
+    in-dim padding) — the roofline denominator."""
+    from llama_swift_tpu.formats.ggml import expected_tensor_shapes
+
+    align = 1024 if layout == "t" else 4096
+    total = 0
+    for shape in expected_tensor_shapes(cfg).values():
+        if len(shape) == 1:
+            total += shape[0] * 4
+        else:
+            rows, cols = shape
+            cols = -(-cols // align) * align
+            total += rows * cols // 2 + rows * (cols // 32) * 4
+    return total
+
+
+def build_synthetic_q4_0_params_stacked(cfg, layout="v"):
+    """Synthetic Q4_0 params generated DIRECTLY in the stacked [L, ...]
+    device layout — the exact pytree ``params_from_tensors(...,
+    stack_layers=True)`` produces, without ever materializing per-layer
+    copies (a post-hoc ``jnp.stack`` doubles peak HBM and OOMs at 13B —
+    the r3 bench failure).  Requires ``cfg.fuse_layer_matmuls``."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_swift_tpu.ops.q4_fused_layer import Q4_0TensorW
+    from llama_swift_tpu.ops.q4_matmul_pallas import Q4_0TensorT
+    from llama_swift_tpu.ops.q4_vpu_pallas import Q4_0TensorV
+
+    assert cfg.fuse_layer_matmuls, "stacked generator assumes fused wqkv/w13"
+    D, V, F, L = cfg.n_embd, cfg.n_vocab, cfg.n_ff, cfg.n_layer
+    align = 1024 if layout == "t" else 4096
+
+    def pad_in(c):
+        return -(-c // align) * align
+
+    def noise(seed, shape, mod):
+        """Deterministic pseudo-noise over the trailing two axes (pure
+        elementwise iota math — compiles in seconds, no host traffic)."""
+        a = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+        b = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+        return (a * 7 + b * 13 + seed) % mod
+
+    def gen_q4(seed, out, in_dim, cls, layers=None):
+        lead = () if layers is None else (layers,)
+        ot = out // 128
+        if cls is Q4_0TensorT:
+            qshape = lead + (ot, in_dim // 8, 128)
+            sshape = lead + (ot, in_dim // 32, 128)
+        else:  # V / W share the [ot, 128, in/...] geometry
+            qshape = lead + (ot, 128, in_dim // 8)
+            sshape = lead + (ot, 128, in_dim // 32)
+        qs = noise(seed, qshape, 2**31 - 1).astype(jnp.int32)
+        sc = 0.001 + 1e-5 * noise(seed, sshape, 97).astype(jnp.float32)
+        if cls is Q4_0TensorT:
+            return Q4_0TensorT(scales_t=sc, qs4=qs)
+        if cls is Q4_0TensorW:
+            return Q4_0TensorW(scales_w=sc, qs4w=qs)
+        return Q4_0TensorV(scales_v=sc, qs4v=qs)
+
+    lcls = {"v": Q4_0TensorV, "t": Q4_0TensorT, "w": Q4_0TensorW}[layout]
+    hcls = Q4_0TensorV if layout in ("v", "w") else Q4_0TensorT
+
+    @jax.jit
+    def gen_all():
+        return {
+            "tok_embeddings": gen_q4(1, V, pad_in(D), hcls),
+            "norm": jnp.ones((D,), jnp.float32),
+            "output": gen_q4(2, V, pad_in(D), hcls),
+            "layers_stacked": {
+                "attention_norm": jnp.ones((L, D), jnp.float32),
+                "ffn_norm": jnp.ones((L, D), jnp.float32),
+                "wqkv": gen_q4(3, 3 * D, pad_in(D), lcls, layers=L),
+                "wo": gen_q4(4, D, pad_in(D), lcls, layers=L),
+                "w13": gen_q4(5, 2 * F, pad_in(D), lcls, layers=L),
+                "w2": gen_q4(6, D, pad_in(F), lcls, layers=L),
+            },
+        }
+
+    return gen_all(), synthetic_weight_bytes(cfg, layout)
+
+
 def build_synthetic_q4_0_params(cfg, layout="v"):
     """Synthetic Q4_0 params in a packed device layout ("v": VPU-matvec
     layout, the serving default; "t": legacy tiled layout), materialized by
@@ -190,13 +273,24 @@ def build_params(cfg, args):
         params = model_lib.params_from_tensors(
             tensors, cfg, param_dtype=jnp.bfloat16, stack_layers=stack
         )
-    else:
-        layout = {"q4-packed-t": "t", "q4-packed-w": "w"}.get(args.weights, "v")
-        tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
-        params = model_lib.params_from_tensors(
-            tensors, cfg, param_dtype=jnp.float32, stack_layers=stack,
-            q4_layout=layout if layout == "w" else None,
-        )
+        return params, weight_bytes
+    # default "q4-packed" = the fastest serving layout for this model:
+    # fused-layer W kernels (head_dim 128), else the V matvec layout
+    default_layout = "w" if cfg.head_dim == 128 else "v"
+    layout = {
+        "q4-packed-t": "t", "q4-packed-w": "w", "q4-packed-v": "v",
+    }.get(args.weights, default_layout)
+    if layout == "w" and cfg.head_dim != 128:
+        layout = "v"  # fused-layer kernels map one 128-dim head per tile
+    if stack and cfg.fuse_layer_matmuls:
+        # direct stacked generation: peak HBM = final weights (a per-layer
+        # gen + jnp.stack holds 2x and OOMs at 13B)
+        return build_synthetic_q4_0_params_stacked(cfg, layout=layout)
+    tensors, weight_bytes = build_synthetic_q4_0_params(cfg, layout=layout)
+    params = model_lib.params_from_tensors(
+        tensors, cfg, param_dtype=jnp.float32, stack_layers=stack,
+        q4_layout=layout if layout == "w" else None,
+    )
     return params, weight_bytes
 
 
@@ -279,6 +373,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="headline decode metric only (skip TTFT/served/13B)")
     ap.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
+    ap.add_argument("--hbm-budget-gb", type=float, default=14.5,
+                    help="skip configs whose weights+KV estimate exceeds "
+                         "this (v5e: 16 GB HBM minus workspace)")
     ap.add_argument("--flash", action="store_true", default=True,
                     help="use the flash-decode attention kernel (default)")
     ap.add_argument("--no-flash", dest="flash", action="store_false",
@@ -297,12 +394,13 @@ def main():
                          "stacked [L, ...] buffers (exposes them to XLA "
                          "VMEM promotion; for comparison)")
     ap.add_argument("--weights", default="q4-packed",
-                    choices=["dense-bf16", "q4-packed", "q4-packed-t",
-                             "q4-packed-w"],
-                    help="q4-packed: 5-bit streaming via the VPU matvec "
-                         "kernel (the serving default); q4-packed-t: legacy "
-                         "tiled layout + MXU phase kernels; dense-bf16: Q4 "
-                         "dequantized once at load, 2 B/weight XLA matmuls")
+                    choices=["dense-bf16", "q4-packed", "q4-packed-v",
+                             "q4-packed-t", "q4-packed-w"],
+                    help="q4-packed (default): fastest packed layout for the "
+                         "model — fused-layer W kernels at head_dim 128, "
+                         "else the VPU matvec V layout; -v/-t/-w force a "
+                         "specific layout; dense-bf16: Q4 dequantized once "
+                         "at load, 2 B/weight XLA matmuls")
     args = ap.parse_args()
 
     import jax
@@ -335,17 +433,33 @@ def main():
     if args.quick:
         return 0
 
+    # Every stage below is fault-isolated: a failure (OOM on the tunneled
+    # backend, compile error) logs to stderr and moves on — the bench always
+    # ends with the headline line for last-line parsers.
+    def stage(label, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — isolate bench stages
+            print(f"bench: stage {label} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr, flush=True)
+
     # --- TTFT p50 (BASELINE.json: "decode tokens/s/chip + p50 TTFT") -------
-    for plen in sorted({min(64, cfg.n_ctx), min(512, cfg.n_ctx)}):
-        t = ttft_bench(cfg, params, plen, args)
-        # weight-stream-bound prefill time is the SOL reference
-        emit(f"ttft_p50_s_{args.size}_q4_0_prompt{plen}", t, "s",
-             (weight_bytes / (args.hbm_gbps * 1e9)) / t)
+    def run_ttft():
+        for plen in sorted({min(64, cfg.n_ctx), min(512, cfg.n_ctx)}):
+            t = ttft_bench(cfg, params, plen, args)
+            # weight-stream-bound prefill time is the SOL reference
+            emit(f"ttft_p50_s_{args.size}_q4_0_prompt{plen}", t, "s",
+                 (weight_bytes / (args.hbm_gbps * 1e9)) / t)
+
+    stage("ttft", run_ttft)
 
     # --- served throughput (runner path: chunked device-sampled decode) ----
-    served = served_bench(cfg, params, weight_bytes, args)
-    emit(f"served_tok_per_s_{args.size}_q4_0_chunk32", served, "tok/s",
-         served / sol)
+    def run_served():
+        served = served_bench(cfg, params, weight_bytes, args)
+        emit(f"served_tok_per_s_{args.size}_q4_0_chunk32", served, "tok/s",
+             served / sol)
+
+    stage("served", run_served)
 
     # --- 13B continuous batching (BASELINE.json: "13B Q4_0 8-32 streams") --
     del params
@@ -353,18 +467,37 @@ def main():
 
     gc.collect()
     b_size = "13b" if args.size in ("7b", "13b") else args.size
+    # batched decode serves through the stacked MXU phase kernel (T layout,
+    # 1024-aligned in-dims): the batch-1 V/W matvec layouts have no
+    # multi-row kernel and the tighter padding is what lets 13B fit
+    args13 = argparse.Namespace(**{**vars(args), "weights": "q4-packed-t"})
     for B, b_ctx in ((8, 512), (16, 512), (32, 256)):
         b_ctx = min(b_ctx, args.n_ctx)
         cfg13 = make_cfg(b_size, args, n_ctx=b_ctx)
-        params13, wb13 = build_params(cfg13, args)
-        try:
-            agg = batched_decode_bench(cfg13, params13, B, max(8, args.steps // 2))
-            sol13 = args.hbm_gbps * 1e9 / wb13
-            emit(f"decode_tok_per_s_{b_size}_q4_0_{args.weights}_batch{B}_ctx{b_ctx}",
-                 agg, "tok/s", agg / (B * sol13))
-        finally:
-            del params13
-            gc.collect()
+        wb13 = synthetic_weight_bytes(cfg13, "t")
+        kv_itemsize = {"float32": 4, "bfloat16": 2, "int8": 1.5}[args.kv_dtype]
+        kv_bytes = (cfg13.n_layer * 2 * B * cfg13.n_head * b_ctx
+                    * cfg13.head_dim * kv_itemsize)
+        if wb13 + kv_bytes > args.hbm_budget_gb * 1e9:
+            print(f"bench: skip 13B batch{B} ctx{b_ctx}: est "
+                  f"{(wb13 + kv_bytes) / 1e9:.1f} GB > "
+                  f"{args.hbm_budget_gb} GB budget", file=sys.stderr, flush=True)
+            continue
+
+        def run_13b(B=B, b_ctx=b_ctx, cfg13=cfg13, wb13=wb13):
+            params13, _ = build_params(cfg13, args13)
+            try:
+                agg = batched_decode_bench(
+                    cfg13, params13, B, max(8, args.steps // 2)
+                )
+                sol13 = args.hbm_gbps * 1e9 / wb13
+                emit(f"decode_tok_per_s_{b_size}_q4_0_q4-packed-t"
+                     f"_batch{B}_ctx{b_ctx}", agg, "tok/s", agg / (B * sol13))
+            finally:
+                del params13
+                gc.collect()
+
+        stage(f"13b_batch{B}", run_13b)
 
     # repeat the headline LAST for last-line parsers
     print(json.dumps(headline), flush=True)
@@ -419,6 +552,8 @@ def batched_decode_bench(cfg, params, B, steps):
     t_hi2, out, cache = run(jnp.asarray(out[-1]), lo, hi, cache)
     dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
     del cache
+    if dt <= 0:  # dispatch noise > scan delta (tiny models): absolute timing
+        return hi * B / min(t_hi, t_hi2)
     return steps * B / dt
 
 
@@ -453,6 +588,8 @@ def decode_bench(cfg, params, steps):
     t_hi2, toks, cache = run(jnp.asarray(toks[-1]), lo, hi, cache)
     dt = min(t_hi, t_hi2) - min(t_lo, t_lo2)
     del cache
+    if dt <= 0:  # dispatch noise > scan delta (tiny models): absolute timing
+        return hi / min(t_hi, t_hi2)
     return steps / dt
 
 

@@ -147,12 +147,14 @@ def params_from_tensors(
             and q4_layout in ("t", "v", "w")  # "w": non-layer tensors
             and a.shape[0] % 128 == 0         # (embedding/output) pack as V
         ):
-            # pad the in-dim to a 4096 multiple: T always k-tiles at KT4=512
-            # (few, large, contiguous blocks); V keeps block-lanes (in/32)
-            # 128-aligned for its contiguous-slice block reduction.  Zero
-            # blocks are exact; matmul wrappers zero-pad activations.
+            # in-dim padding per layout: T k-tiles need kh4 = in/8 divisible
+            # by a 128-multiple (in % 1024); V keeps block-lanes (in/32)
+            # 128-aligned (in % 4096) for its contiguous-slice block
+            # reduction.  Zero blocks are exact; matmul wrappers zero-pad
+            # activations.
+            unit = 1024 if q4_layout == "t" else 4096
             in_dim = a.shape[1]
-            in_pad = (in_dim + 4095) // 4096 * 4096
+            in_pad = -(-in_dim // unit) * unit
             if in_pad != in_dim:
                 a = _pad_weight(a, in_to=in_pad)
             a = (
@@ -941,6 +943,7 @@ def forward_batched(
         return x, cl
 
     if "layers_stacked" in params:
+        from ..ops.q4_fused_layer import Q4_0TensorW
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
         from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
@@ -959,6 +962,13 @@ def forward_batched(
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
+                elif isinstance(v, Q4_0TensorW):
+                    # W stacks have no batched kernel: per-layer dynamic
+                    # slice, linear() dense-dequants (use "t"/"v" stacks for
+                    # batched serving)
+                    layer[k] = Q4_0TensorW(
+                        scales_w=v.scales_w[il], qs4w=v.qs4w[il]
+                    )
                 else:
                     layer[k] = v[il]
             return layer

@@ -455,11 +455,12 @@ def _phase_core(xr_ref, xl, scales, out_ref):
         f = pltpu.bitcast(bits, jnp.float32)
         # ((2^23 + 16^p(n)) − (2^23 + 8·16^p)) · s/16^p = (n − 8)·s, exact
         w_p = (f - (OFFSET + 8.0 * (16 ** (p % 4)))) * s4c[p % 4]
-        # HIGH (3-pass bf16) ≈ f32 for these magnitudes at half the MXU cost
-        # of HIGHEST; parity budget per SURVEY §7 #5
+        # HIGHEST (6-pass bf16) = f32-exact; Mosaic rejects HIGH inside a
+        # kernel, and decode at these row counts is HBM-bound so the extra
+        # MXU passes are free
         d = jnp.dot(
             xr_ref[:, p, :], w_p, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
