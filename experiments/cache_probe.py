@@ -6,13 +6,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from bench import _enable_compile_cache
+
+_enable_compile_cache()
 
 
 def main():
@@ -29,7 +28,7 @@ def main():
     print(f"first-call (compile+run): {time.time()-t0:.2f}s")
     import pathlib
 
-    p = pathlib.Path("/root/.jax_cache")
+    p = pathlib.Path(jax.config.jax_compilation_cache_dir)
     n = len(list(p.iterdir())) if p.exists() else 0
     print(f"cache entries: {n}")
     return 0

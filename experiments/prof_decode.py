@@ -9,6 +9,7 @@ number (what streams, what's glue, what drains the DMA pipe).
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -80,10 +81,11 @@ def main():
 
     import subprocess
 
-    subprocess.run(
-        [sys.executable, "experiments/xplane_summary.py", trace_dir, "30"]
-    )
-    return 0
+    summary = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "xplane_summary.py")
+    return subprocess.run(
+        [sys.executable, summary, trace_dir, "30"]
+    ).returncode
 
 
 if __name__ == "__main__":

@@ -103,6 +103,13 @@ class ModelConfig:
     #: (observed as async slice/copy chains into S(1)), throttling the
     #: manual DMA stream — a [L, ...] stack is too large to promote.
     scan_layers: bool = True
+    #: prefill (N>1) dense-dequant matmuls run in bf16 on TPU: the Q4
+    #: fallback path otherwise dequantizes every weight to f32 (2× the HBM
+    #: traffic) and pays the multi-pass f32 MXU rate — measured 5× TTFT.
+    #: Activations are already 4-bit fake-quantized before the cast, so the
+    #: extra bf16 rounding is far inside the quantization noise; accumulation
+    #: stays f32.  Set False for exact-f32 scoring (tools/perplexity.py does).
+    prefill_bf16: bool = True
 
     @property
     def n_ff(self) -> int:

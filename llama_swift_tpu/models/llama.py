@@ -496,6 +496,13 @@ def forward(
         qmm.linear,
         quantize_activations=cfg.quantize_activations,
         compute_dtype=compute_dtype,
+        # prefill (N>1): dense-dequant fallback matmuls run bf16 on TPU —
+        # halves the dequantized-weight HBM traffic and uses the MXU's
+        # native-rate path (f32 matmuls run multi-pass).  f32 accumulation;
+        # decode (N==1) and CPU golden tests are untouched.
+        dense_matmul_dtype=(
+            jnp.bfloat16 if (cfg.prefill_bf16 and N > 1) else None
+        ),
     )
     positions = n_past + jnp.arange(N, dtype=jnp.int32)
 

@@ -129,11 +129,17 @@ def linear(
     quantize_activations: bool = True,
     compute_dtype=jnp.float32,
     prefer_pallas: bool | None = None,
+    dense_matmul_dtype=None,
 ) -> jnp.ndarray:
     """``y[..., out] = x[..., in] @ W[out, in].T`` with dtype-based dispatch.
 
     Equivalent of ``ggml_mul_mat(w, x)`` (``ggml.c:3623-3646``) for every
     weight dtype the reference supports.
+
+    ``dense_matmul_dtype``: dtype for the dense-dequant fallback matmuls
+    (the prefill path of the packed layouts).  Only honored on TPU — CPU
+    keeps exact f32 so golden tests pin the reference numerics.  Accumulation
+    is always f32 (``preferred_element_type``).
     """
     from .q4_matmul_pallas import (
         MAX_INT_KERNEL_ROWS,
@@ -159,6 +165,12 @@ def linear(
         q4_1_vpu_matvec_stacked,
     )
 
+    mm_dtype = (
+        dense_matmul_dtype
+        if dense_matmul_dtype is not None and _on_tpu()
+        else compute_dtype
+    )
+
     if isinstance(w, StackedQ4VRef):
         use_pallas, interp = _kernel_mode(prefer_pallas)
         n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
@@ -176,6 +188,7 @@ def linear(
         return linear(
             x, w.at_layer(), quantize_activations=quantize_activations,
             compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
+            dense_matmul_dtype=dense_matmul_dtype,
         )
 
     if isinstance(w, (Q4_0TensorV, Q4_1TensorV)):
@@ -199,13 +212,13 @@ def linear(
         lead = x.shape[:-1]
         n_rows = int(np.prod(lead)) if lead else 1
         x2 = _pad_x(
-            x.reshape(n_rows, x.shape[-1]).astype(compute_dtype),
+            x.reshape(n_rows, x.shape[-1]).astype(mm_dtype),
             w.qs4v.shape[2] * 8,
         )
         wd = (
-            dequantize_q4_1v_jnp(w, dtype=compute_dtype)
+            dequantize_q4_1v_jnp(w, dtype=mm_dtype)
             if is_q41
-            else dequantize_q4_0v_jnp(w, dtype=compute_dtype)
+            else dequantize_q4_0v_jnp(w, dtype=mm_dtype)
         )
         y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
         return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
@@ -234,6 +247,7 @@ def linear(
         return linear(
             x, w.at_layer(), quantize_activations=quantize_activations,
             compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
+            dense_matmul_dtype=dense_matmul_dtype,
         )
 
     if isinstance(w, Q4_0TensorT):
@@ -262,8 +276,8 @@ def linear(
             x = fake_quantize_q4_0(x)
         from .q4_matmul_pallas import _pad_x_to
 
-        x = _pad_x_to(x.astype(compute_dtype), w.qs4.shape[1] * 8)
-        wd = dequantize_q4_0t_jnp(w, dtype=compute_dtype)
+        x = _pad_x_to(x.astype(mm_dtype), w.qs4.shape[1] * 8)
+        wd = dequantize_q4_0t_jnp(w, dtype=mm_dtype)
         return jnp.dot(
             x, wd.T, preferred_element_type=jnp.float32
         ).astype(compute_dtype)
@@ -279,16 +293,16 @@ def linear(
         lead = x.shape[:-1]
         n_rows = int(np.prod(lead)) if lead else 1
         in_dim = w.qs4w.shape[2] * 8
-        x2 = _pad_x(x.reshape(n_rows, x.shape[-1]).astype(compute_dtype), in_dim)
-        wd = dequantize_q4_0w_jnp(w, dtype=compute_dtype)
+        x2 = _pad_x(x.reshape(n_rows, x.shape[-1]).astype(mm_dtype), in_dim)
+        wd = dequantize_q4_0w_jnp(w, dtype=mm_dtype)
         y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
         return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         if quantize_activations:
             x = fake_quantize_q4_0(x)
-        wd = dequantize_q4_0_jnp(w, dtype=compute_dtype)
+        wd = dequantize_q4_0_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
         ).astype(compute_dtype)
     if isinstance(w, Q4_1Tensor):
         # reference q4_1 matmul also quantizes activations to q4_1
@@ -296,9 +310,9 @@ def linear(
         # (true-max) variant
         if quantize_activations:
             x = fake_quantize_q4_1(x)
-        wd = dequantize_q4_1_jnp(w, dtype=compute_dtype)
+        wd = dequantize_q4_1_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x.astype(compute_dtype), wd.T, preferred_element_type=jnp.float32
+            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
         ).astype(compute_dtype)
     w = jnp.asarray(w)
     return jnp.dot(

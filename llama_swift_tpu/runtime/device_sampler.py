@@ -92,14 +92,20 @@ def sample_token(
     return ids[idx].astype(jnp.int32)
 
 
-def init_ring(prompt_ids, repeat_last_n: int) -> tuple[jnp.ndarray, int]:
+def init_ring(prompt_ids, repeat_last_n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Last-n ring after prompt consumption: ``repeat_last_n`` zeros
     (``LlamaPredictOperation.mm:827-829``) with the prompt pushed in order —
     i.e. the trailing ``R`` of ``[0]*R + prompt_ids``.  Returns (ring, pos):
-    entries are oldest-first, so the next push overwrites slot ``pos=0``."""
+    entries are oldest-first, so the next push overwrites slot ``pos=0``.
+
+    ``pos`` is a strong-typed int32 scalar ON PURPOSE: ``sampled_decode_loop``
+    returns a strong int32 for it, so a weak-typed (python int) first call
+    would give the second call a different abstract signature and silently
+    recompile the whole decode loop — ~13 s burned on the first serving chunk.
+    """
     r = max(1, int(repeat_last_n))
     buf = [0] * r + [int(t) for t in prompt_ids]
-    return jnp.asarray(buf[-r:], dtype=jnp.int32), 0
+    return jnp.asarray(buf[-r:], dtype=jnp.int32), jnp.int32(0)
 
 
 @functools.partial(

@@ -34,10 +34,14 @@ def main(argv=None) -> int:
     from ..tokenizer import Vocab
     from ..utils.perplexity import perplexity
 
+    import dataclasses
+
     mf = load_model_file(args.model, n_ctx=args.n_ctx)
     vocab = Vocab(mf.vocab)
     dtype = jnp.dtype(args.param_dtype) if args.param_dtype else None
-    params = params_from_tensors(mf.tensors, mf.config, param_dtype=dtype)
+    # scoring wants exact-f32 prefill matmuls, not the serving bf16 fast path
+    cfg = dataclasses.replace(mf.config, prefill_bf16=False)
+    params = params_from_tensors(mf.tensors, cfg, param_dtype=dtype)
 
     with open(args.text, "rb") as f:
         text = f.read()
@@ -50,7 +54,7 @@ def main(argv=None) -> int:
     def progress(done, total, run_ppl):
         print(f"[{done}/{total}] ppl = {run_ppl:.4f}", file=sys.stderr, flush=True)
 
-    out = perplexity(params, mf.config, ids, progress=progress)
+    out = perplexity(params, cfg, ids, progress=progress)
     print(json.dumps({
         "model": args.model, "n_ctx": args.n_ctx,
         "ppl": round(out["ppl"], 4), "nll": round(out["nll"], 6),

@@ -124,6 +124,30 @@ def test_sampled_decode_loop_matches_host_greedy(tiny_cfg, tiny_tensors):
     assert dev_toks == host_toks
 
 
+def test_sampled_decode_loop_compiles_once_across_chunks(tiny_cfg, tiny_tensors):
+    """Chunk 2 must reuse chunk 1's compiled program.  Regression: init_ring
+    used to return ``pos`` as a python int (weak-typed), so the strong int32
+    the loop returns changed the signature and the SECOND serving chunk
+    silently recompiled the whole decode loop (~13 s on the real chip)."""
+    cfg = ModelConfig.tiny(n_ctx=64)
+    params = model_lib.params_from_tensors(tiny_tensors, cfg, param_dtype=jnp.float32)
+    cache = model_lib.init_cache(cfg)
+    ring, pos = init_ring([1, 7], 64)
+    key = jax.random.key(0)
+    scfg = SamplingConfig(top_k=1, seed=None)
+    last = jnp.asarray(7, jnp.int32)
+    before = sampled_decode_loop._cache_size()
+    np_ = 1
+    for _ in range(2):
+        toks, cache, ring, pos, key = sampled_decode_loop(
+            params, last, jnp.int32(np_), cache, ring, pos, key,
+            jnp.int32(4), cfg, scfg, 4,
+        )
+        last = jnp.asarray(int(np.asarray(toks)[-1]), jnp.int32)
+        np_ += 4
+    assert sampled_decode_loop._cache_size() == before + 1
+
+
 def test_runner_device_sampling_matches_host_greedy(tiny_cfg, tiny_tensors, tiny_vocab_pieces):
     from llama_swift_tpu.runtime.events import EventKind
     from llama_swift_tpu.runtime.runner import LlamaRunner
