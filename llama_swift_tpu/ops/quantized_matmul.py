@@ -211,17 +211,31 @@ def linear(
 
         lead = x.shape[:-1]
         n_rows = int(np.prod(lead)) if lead else 1
+        out_dim = w.qs4v.shape[0] * 128
         x2 = _pad_x(
-            x.reshape(n_rows, x.shape[-1]).astype(mm_dtype),
+            x.reshape(n_rows, x.shape[-1]).astype(jnp.float32),
             w.qs4v.shape[2] * 8,
         )
-        wd = (
-            dequantize_q4_1v_jnp(w, dtype=mm_dtype)
-            if is_q41
-            else dequantize_q4_0v_jnp(w, dtype=mm_dtype)
-        )
-        y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
-        return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
+        if use_pallas:
+            # kernel dequant (streams packed words once, writes dense once)
+            # + one MXU matmul — the jnp unpack materializes ~1.5 ms of f32
+            # intermediates per weight at 7B
+            from .q4_dequant_pallas import q4_dense_matmul_pm
+
+            y = q4_dense_matmul_pm(
+                x2, w.qs4v, w.sm_v if is_q41 else w.scales_v,
+                is_q41=is_q41, mm_dtype=mm_dtype, interpret=interp,
+            )
+        else:
+            wd = (
+                dequantize_q4_1v_jnp(w, dtype=mm_dtype)
+                if is_q41
+                else dequantize_q4_0v_jnp(w, dtype=mm_dtype)
+            )
+            y = jnp.dot(
+                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
+            )
+        return y.reshape(*lead, out_dim).astype(compute_dtype)
 
     if isinstance(w, StackedQ4Ref):
         use_pallas, interp = _kernel_mode(prefer_pallas)
@@ -290,13 +304,27 @@ def linear(
             x = fake_quantize_q4_0(x)
         from .q4_vpu_pallas import _pad_x
 
+        use_pallas, interp = _kernel_mode(prefer_pallas)
         lead = x.shape[:-1]
         n_rows = int(np.prod(lead)) if lead else 1
         in_dim = w.qs4w.shape[2] * 8
-        x2 = _pad_x(x.reshape(n_rows, x.shape[-1]).astype(mm_dtype), in_dim)
-        wd = dequantize_q4_0w_jnp(w, dtype=mm_dtype)
-        y = jnp.dot(x2, wd.T, preferred_element_type=jnp.float32)
-        return y.reshape(*lead, wd.shape[0]).astype(compute_dtype)
+        out_dim = w.qs4w.shape[0] * 128
+        x2 = _pad_x(x.reshape(n_rows, x.shape[-1]).astype(jnp.float32), in_dim)
+        if use_pallas:
+            from .q4_dequant_pallas import q4_dense_matmul_pm
+            from .q4_fused_layer import block_perm
+
+            y = q4_dense_matmul_pm(
+                x2, w.qs4w, w.scales_w,
+                w_block_perm=block_perm(in_dim // 32),
+                mm_dtype=mm_dtype, interpret=interp,
+            )
+        else:
+            wd = dequantize_q4_0w_jnp(w, dtype=mm_dtype)
+            y = jnp.dot(
+                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
+            )
+        return y.reshape(*lead, out_dim).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
         if quantize_activations:
             x = fake_quantize_q4_0(x)
