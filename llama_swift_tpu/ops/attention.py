@@ -66,6 +66,10 @@ def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, 
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic's default lowers f32 dots to
+                    # single-pass bf16 on the MXU (~1e-3/layer drift,
+                    # compounds across layers; experiments/tpu_selfcheck)
+                    precision=jax.lax.Precision.HIGHEST,
         ) * scale  # [1, C]
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
@@ -81,6 +85,10 @@ def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, 
             p, v_ref[0].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic's default lowers f32 dots to
+                    # single-pass bf16 on the MXU (~1e-3/layer drift,
+                    # compounds across layers; experiments/tpu_selfcheck)
+                    precision=jax.lax.Precision.HIGHEST,
         )  # [1, Dh]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.full_like(m_ref, m_new)
@@ -181,6 +189,10 @@ def _flash_decode_stacked_kernel(
                     k_ref[0, hh].astype(jnp.float32),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic's default lowers f32 dots to
+                    # single-pass bf16 on the MXU (~1e-3/layer drift,
+                    # compounds across layers; experiments/tpu_selfcheck)
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 for hh in range(hb)
             ],
@@ -201,6 +213,10 @@ def _flash_decode_stacked_kernel(
                     v_ref[0, hh].astype(jnp.float32),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic's default lowers f32 dots to
+                    # single-pass bf16 on the MXU (~1e-3/layer drift,
+                    # compounds across layers; experiments/tpu_selfcheck)
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 for hh in range(hb)
             ],
@@ -248,6 +264,10 @@ def _flash_decode_stacked_int8_kernel(
                     k_ref[0, hh].astype(jnp.float32),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic's default lowers f32 dots to
+                    # single-pass bf16 on the MXU (~1e-3/layer drift,
+                    # compounds across layers; experiments/tpu_selfcheck)
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 * ks_ref[0, hh : hh + 1, :]
                 for hh in range(hb)
@@ -271,6 +291,10 @@ def _flash_decode_stacked_int8_kernel(
                     v_ref[0, hh].astype(jnp.float32),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic's default lowers f32 dots to
+                    # single-pass bf16 on the MXU (~1e-3/layer drift,
+                    # compounds across layers; experiments/tpu_selfcheck)
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 for hh in range(hb)
             ],

@@ -569,12 +569,20 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                     b.wait()
                     kcb = kvbuf[slot, 0].astype(jnp.float32)  # [H, C, 128]
                     vcb = kvbuf[slot, 1].astype(jnp.float32)
+                    # Precision.HIGHEST: Mosaic lowers f32 dots to the MXU
+                    # at single-pass bf16 by default — interpret mode (and
+                    # the CPU tests) compute exact f32, and the ~1e-3/layer
+                    # drift compounds to ~0.19 rel logit error over 32
+                    # layers (caught by experiments/tpu_selfcheck.py r4).
+                    # Attention FLOPs are tiny vs the weight stream, so the
+                    # multi-pass cost is free.
                     s = jnp.concatenate(
                         [
                             jax.lax.dot_general(
                                 q[hh : hh + 1, :], kcb[hh],
                                 dimension_numbers=(((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
                             )
                             for hh in range(H)
                         ],
@@ -594,6 +602,7 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
                                 p[hh : hh + 1, :], vcb[hh],
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
                             )
                             for hh in range(H)
                         ],
