@@ -107,9 +107,22 @@ def params_from_tensors(
         if transpose_q4:
             q4_layout = "t"
         elif transpose_q4 is None and on_tpu:
-            # V layout serves batch-1 decode fastest; TP in-dim sharding
-            # needs the T layout (see parallel/sharding.py)
-            q4_layout = "t" if shard_pad > 1 else "v"
+            # fused-layer W kernels serve batch-1 decode fastest at 128-dim
+            # heads (hardware-parity-proven, experiments/tpu_selfcheck.py);
+            # V matvec layout otherwise; TP in-dim sharding needs the T
+            # layout (see parallel/sharding.py)
+            if shard_pad > 1:
+                q4_layout = "t"
+            elif (
+                cfg.head_dim == 128
+                and cfg.fuse_layer_matmuls
+                and cfg.kv_cache_dtype != "int8"
+                # (int8 KV decodes through the flash kernel, not the fused
+                # blocks — W weights would dense-dequant every step)
+            ):
+                q4_layout = "w"
+            else:
+                q4_layout = "v"
         else:
             q4_layout = "none"
     if stack_layers is None:

@@ -435,9 +435,12 @@ def flash_decode_attention_stacked(
 def reference_decode_attention(q, keys, values, n_past):
     """Unfused reference for tests: q [H, Dh], cache [H, n_ctx, Dh]."""
     h, n_ctx, dh = keys.shape
-    s = jnp.einsum("hd,hjd->hj", q.astype(jnp.float32), keys.astype(jnp.float32))
+    s = jnp.einsum("hd,hjd->hj", q.astype(jnp.float32),
+                   keys.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     s = s / np.sqrt(float(dh))
     j = jnp.arange(n_ctx)[None, :]
     s = jnp.where(j <= n_past, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("hj,hjd->hd", p, values.astype(jnp.float32))
+    return jnp.einsum("hj,hjd->hd", p, values.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)

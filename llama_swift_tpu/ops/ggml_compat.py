@@ -91,7 +91,8 @@ def norm(a, eps: float = 1e-5):
 
 def mul_mat(a, b):
     """result = b @ a.T — ggml's row-dot convention (``ggml.c:3623-3646``)."""
-    return jnp.matmul(b, jnp.swapaxes(a, -1, -2))
+    return jnp.matmul(b, jnp.swapaxes(a, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def scale(a, s):
@@ -201,11 +202,13 @@ def flash_attn(q, k, v, masked: bool):
 
     N, H, D = q.shape
     M = k.shape[0]
-    scores = jnp.einsum("nhd,mhd->hnm", q, k) / _np.sqrt(D)
+    scores = jnp.einsum("nhd,mhd->hnm", q, k,
+                        precision=jax.lax.Precision.HIGHEST) / _np.sqrt(D)
     if masked:
         scores = diag_mask_inf(scores, M - N)
     p = soft_max(scores)
-    return jnp.einsum("hnm,mhd->nhd", p, v)
+    return jnp.einsum("hnm,mhd->nhd", p, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def flash_ff(x, w1, b1, w2, b2):

@@ -233,7 +233,8 @@ def linear(
                 else dequantize_q4_0v_jnp(w, dtype=mm_dtype)
             )
             y = jnp.dot(
-                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
+                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
             )
         return y.reshape(*lead, out_dim).astype(compute_dtype)
 
@@ -293,7 +294,8 @@ def linear(
         x = _pad_x_to(x.astype(mm_dtype), w.qs4.shape[1] * 8)
         wd = dequantize_q4_0t_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x, wd.T, preferred_element_type=jnp.float32
+            x, wd.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
     from .q4_fused_layer import Q4_0TensorW, dequantize_q4_0w_jnp
 
@@ -322,7 +324,8 @@ def linear(
         else:
             wd = dequantize_q4_0w_jnp(w, dtype=mm_dtype)
             y = jnp.dot(
-                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
+                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
             )
         return y.reshape(*lead, out_dim).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
@@ -330,7 +333,8 @@ def linear(
             x = fake_quantize_q4_0(x)
         wd = dequantize_q4_0_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
+            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
     if isinstance(w, Q4_1Tensor):
         # reference q4_1 matmul also quantizes activations to q4_1
@@ -340,12 +344,14 @@ def linear(
             x = fake_quantize_q4_1(x)
         wd = dequantize_q4_1_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32
+            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
     w = jnp.asarray(w)
     return jnp.dot(
         x.astype(compute_dtype), w.astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
     ).astype(compute_dtype)
 
 
