@@ -471,8 +471,7 @@ def main():
     def run_selfcheck():
         from experiments.tpu_selfcheck import run as selfcheck_run
 
-        err_v, err_w = selfcheck_run(steps=3)
-        err = max(err_v, err_w)
+        err = max(selfcheck_run(steps=3).values())
         # vs_baseline: 1.0 = parity (err within tol), 0.0 = kernels diverge
         emit("kernel_parity_max_rel_err", err, "rel_err",
              1.0 if err <= 2e-3 else 0.0)

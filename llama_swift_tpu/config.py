@@ -206,9 +206,11 @@ class RunnerConfig:
     chunked_prefill: bool = False
     #: sample on DEVICE (runtime/device_sampler.py): the exact reference
     #: pipeline as jax ops, ``device_chunk`` tokens per dispatch instead of
-    #: one host round trip per token.  RNG is jax's counted threefry; the
-    #: host path (default) keeps the numpy/mt19937 stream options.
-    device_sampling: bool = False
+    #: one host round trip per token.  Default ON — the reference's one
+    #: serving loop was its hot path (LlamaPredictOperation.mm:834-896) and
+    #: the per-token host round trip costs ~30 ms on a tunneled backend.
+    #: Set False for the host sampler's numpy/mt19937 RNG-stream parity.
+    device_sampling: bool = True
     #: tokens generated per device dispatch when ``device_sampling`` (the
     #: streaming granularity; dispatch latency amortizes over the chunk)
     device_chunk: int = 32

@@ -64,6 +64,7 @@ def params_from_tensors(
     shard_pad: int = 1,
     stack_layers: Optional[bool] = None,
     dense_dequant: bool = False,
+    fuse_shards: int = 1,
 ) -> Params:
     """Arrange loader output (``formats/ggml.py``) into the model pytree.
 
@@ -99,6 +100,14 @@ def params_from_tensors(
     fastest serving mode until the fused Q4 kernels reach the roofline.
     Activation fake-quant still applies (cfg.quantize_activations), keeping
     the reference's quantized-dot numerics.
+
+    ``fuse_shards``: with ``cfg.fuse_layer_matmuls`` and an out-row-sharded
+    TP layout (``parallel/tp.py``), the fused wqkv/w13 out-concats are
+    INTERLEAVED per shard — shard r's rows are (q_r; k_r; v_r) and
+    (w1_r; w3_r) — so a contiguous out-row split hands each shard its own
+    whole fused matrices.  Requires n_head % fuse_shards == 0 and
+    ``shard_pad`` = 128·fuse_shards.  The global (fuse_shards=1) concat
+    would interleave shards' rows across ranks.
     """
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if param_dtype is None:
@@ -252,12 +261,15 @@ def params_from_tensors(
         }
         if cfg.fuse_layer_matmuls:
             # out-dim concat: fewer, larger kernels; numerically exact (Q4
-            # block scales are per source row)
-            layer["wqkv"] = cvt(_concat_out([get("wq"), get("wk"), get("wv")]))
-            layer["w13"] = cvt(_concat_out([
+            # block scales are per source row).  fuse_shards > 1 interleaves
+            # the concat per TP shard (see docstring).
+            layer["wqkv"] = cvt(_concat_out_sharded(
+                [get("wq"), get("wk"), get("wv")], fuse_shards
+            ))
+            layer["w13"] = cvt(_concat_out_sharded([
                 _pad_weight(get("w1"), out_to=ff_pad),
                 _pad_weight(get("w3"), out_to=ff_pad),
-            ]))
+            ], fuse_shards))
         else:
             for w in ("wq", "wk", "wv"):
                 layer[w] = cvt(get(w))
@@ -323,6 +335,33 @@ def _pad_weight(a, out_to: Optional[int] = None, in_to: Optional[int] = None):
     if isinstance(a, jnp.ndarray):
         return jnp.pad(a, ((0, ro), (0, co)))  # stays on device
     return np.pad(np.asarray(a), ((0, ro), (0, co)))
+
+
+def _row_slice(a, lo: int, hi: int):
+    """Rows [lo, hi) of a [out, in] weight (dense or logical-quantized)."""
+    if isinstance(a, Q4_0Tensor):
+        return Q4_0Tensor(scales=a.scales[lo:hi], qs=a.qs[lo:hi])
+    if isinstance(a, Q4_1Tensor):
+        return Q4_1Tensor(
+            mins=a.mins[lo:hi], scales=a.scales[lo:hi], qs=a.qs[lo:hi]
+        )
+    return a[lo:hi]
+
+
+def _concat_out_sharded(parts: list, shards: int):
+    """Out-concat, interleaved per TP shard: result rows are
+    (p0_r; p1_r; ...) for shard r — a contiguous out-row split then hands
+    each shard its own whole fused matrices (parallel/tp.py)."""
+    if shards <= 1:
+        return _concat_out(parts)
+    pieces = []
+    for r in range(shards):
+        for p in parts:
+            rows = p.shape[0]
+            assert rows % shards == 0, (rows, shards)
+            per = rows // shards
+            pieces.append(_row_slice(p, r * per, (r + 1) * per))
+    return _concat_out(pieces)
 
 
 def _concat_out(parts: list):
@@ -466,6 +505,7 @@ def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
     scores = jnp.einsum(
         "nhd,hjd->hnj", q.astype(jnp.float32), keys.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) * scale
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (N, n_ctx), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (N, n_ctx), 1)
@@ -478,6 +518,7 @@ def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
     ctx = jnp.einsum(
         "hnj,hjd->nhd", p, values.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return ctx.astype(compute_dtype)
 
@@ -684,53 +725,50 @@ def forward(
             and cfg.quantize_activations
             and cfg.head_dim == 128
         ):
-            # fused-layer decode: TWO pallas kernels per layer, everything
-            # (norm/quant/rope/cache-write/attention/SwiGLU/residuals) inside
-            # them, one continuous weight-DMA stream per kernel
-            # (ops/q4_fused_layer.py)
+            # fused-stack decode: ONE pallas kernel for ALL layers — norm,
+            # quant, rope, flash attention, SwiGLU and residuals all happen
+            # between weight-tile DMA waits of a single ring that spans every
+            # matmul of every layer, so the HBM weight stream never stops
+            # (ops/q4_fused_layer.fused_layers_block)
             from ..ops.q4_fused_layer import (
-                fused_attn_block,
-                fused_ffn_block,
+                fused_layers_block,
+                pick_ctx_chunk,
                 rope_vectors,
             )
 
             interp = jax.default_backend() not in ("tpu", "axon")
             cos, sin = rope_vectors(n_past, cfg.head_dim)
-            kcache, vcache = cache["k"], cache["v"]
             wqkv, wo = stacked["wqkv"], stacked["wo"]
             w13, w2 = stacked["w13"], stacked["w2"]
-            chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
-            xr = x.astype(jnp.float32)
-            ff_real = w13.qs4w.shape[1] * 64  # out_tiles * 128 / 2
-            for il in range(cfg.n_layer):
-                delta, k_new, v_new = fused_attn_block(
-                    xr, stacked["attention_norm"][il][None, :], cos, sin,
-                    wqkv.qs4w, wqkv.scales_w, wo.qs4w, wo.scales_w,
-                    kcache, vcache, il, n_past,
-                    norm_type=cfg.norm_type, eps=cfg.norm_eps,
-                    ctx_chunk=chunk, interpret=interp,
-                )
-                xr = xr + delta[:, 0, :].reshape(1, cfg.n_embd)
-                # in-place single-row cache writes on the donated buffers
-                kcache = jax.lax.dynamic_update_slice(
-                    kcache, k_new[None, :, None, :].astype(kcache.dtype),
-                    (il, 0, n_past, 0),
-                )
-                vcache = jax.lax.dynamic_update_slice(
-                    vcache, v_new[None, :, None, :].astype(vcache.dtype),
-                    (il, 0, n_past, 0),
-                )
-                delta = fused_ffn_block(
-                    xr, stacked["ffn_norm"][il][None, :],
-                    w13.qs4w, w13.scales_w, w2.qs4w, w2.scales_w, il,
-                    norm_type=cfg.norm_type, eps=cfg.norm_eps,
-                    ff_real=ff_real, interpret=interp,
-                )
-                xr = xr + delta[:, 0, :].reshape(1, cfg.n_embd)
+            H = cfg.n_head
+            anorms = stacked["attention_norm"].astype(jnp.float32)
+            fnorms = stacked["ffn_norm"].astype(jnp.float32)
+            xout, knew, vnew = fused_layers_block(
+                x.astype(jnp.float32).reshape(H, cfg.head_dim),
+                anorms.reshape(cfg.n_layer, H, cfg.head_dim),
+                fnorms.reshape(cfg.n_layer, H, cfg.head_dim),
+                cos, sin,
+                wqkv.qs4w, wqkv.scales_w, wo.qs4w, wo.scales_w,
+                w13.qs4w, w13.scales_w, w2.qs4w, w2.scales_w,
+                cache["k"], cache["v"], n_past,
+                norm_type=cfg.norm_type, eps=cfg.norm_eps,
+                ctx_chunk=pick_ctx_chunk(cfg.n_ctx), interpret=interp,
+            )
             new_cache = dict(cache)
-            new_cache["k"] = kcache
-            new_cache["v"] = vcache
-            x = norm(xr, params["norm"], cfg.norm_type, cfg.norm_eps)
+            # one in-place all-layers cache write at position n_past on the
+            # donated buffers
+            new_cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], knew[:, :, None, :].astype(cache["k"].dtype),
+                (0, 0, n_past, 0),
+            )
+            new_cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], vnew[:, :, None, :].astype(cache["v"].dtype),
+                (0, 0, n_past, 0),
+            )
+            x = norm(
+                xout.reshape(1, cfg.n_embd), params["norm"],
+                cfg.norm_type, cfg.norm_eps,
+            )
             logits = lin(x.astype(compute_dtype), params["output"]).astype(
                 jnp.float32
             )
@@ -752,14 +790,11 @@ def forward(
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
-                elif isinstance(v, Q4_0TensorW):
-                    # prefill/fallback: dynamic per-layer slice (the fused
-                    # decode path above never goes through layer_at)
-                    layer[k] = Q4_0TensorW(
-                        scales_w=v.scales_w[il], qs4w=v.qs4w[il]
-                    )
                 else:
-                    layer[k] = v[il]
+                    # arrays index directly; quantized containers (W layout
+                    # prefill fallback, "none"-layout logical blocks) slice
+                    # leaf-wise
+                    layer[k] = jax.tree_util.tree_map(lambda a: a[il], v)
             return layer
 
         if cfg.scan_layers and slot is None:
@@ -817,6 +852,7 @@ def _attention_batched(q, keys, values, n_pasts, compute_dtype):
     scores = jnp.einsum(
         "bhd,bhjd->bhj", q.astype(jnp.float32), keys.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) * scale
     n_ctx = keys.shape[2]
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_ctx), 2)
@@ -828,6 +864,7 @@ def _attention_batched(q, keys, values, n_pasts, compute_dtype):
     ctx = jnp.einsum(
         "bhj,bhjd->bhd", p, values.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return ctx.astype(compute_dtype)
 
@@ -943,12 +980,34 @@ def forward_batched(
             cl = cache_write_b(cl, "k", k)
             cl = cache_write_b(cl, "v", v)
             keys, values = cache_read_b(cl, "k"), cache_read_b(cl, "v")
+            ctx = _attention_batched(q, keys, values, n_pasts, compute_dtype)
+        elif cfg.use_flash_decode:
+            # batched flash decode reads the layer-major cache in place with
+            # per-slot O(n_past) KV traffic (r4's dense path re-read the
+            # whole [B, H, n_ctx] cache every step)
+            from ..ops.attention import (
+                flash_decode_attention_batched,
+                flash_decode_attention_batched_int8,
+            )
+
+            cl = cache_write_full_b(cl, "k", k, il)
+            cl = cache_write_full_b(cl, "v", v, il)
+            chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
+            if "k_scale" in cl:
+                ctx = flash_decode_attention_batched_int8(
+                    q, cl["k"], cl["v"], cl["k_scale"], cl["v_scale"],
+                    il, n_pasts, chunk=chunk,
+                ).astype(compute_dtype)
+            else:
+                ctx = flash_decode_attention_batched(
+                    q, cl["k"], cl["v"], il, n_pasts, chunk=chunk
+                ).astype(compute_dtype)
         else:
             cl = cache_write_full_b(cl, "k", k, il)
             cl = cache_write_full_b(cl, "v", v, il)
             keys = cache_read_full_b(cl, "k", il)
             values = cache_read_full_b(cl, "v", il)
-        ctx = _attention_batched(q, keys, values, n_pasts, compute_dtype)
+            ctx = _attention_batched(q, keys, values, n_pasts, compute_dtype)
         x = x + lin(ctx.reshape(B, cfg.n_embd), layer["wo"])
         h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
         if "w13" in layer:
@@ -963,7 +1022,6 @@ def forward_batched(
         return x, cl
 
     if "layers_stacked" in params:
-        from ..ops.q4_fused_layer import Q4_0TensorW
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
         from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
@@ -982,15 +1040,11 @@ def forward_batched(
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
-                elif isinstance(v, Q4_0TensorW):
-                    # W stacks have no batched kernel: per-layer dynamic
-                    # slice, linear() dense-dequants (use "t"/"v" stacks for
-                    # batched serving)
-                    layer[k] = Q4_0TensorW(
-                        scales_w=v.scales_w[il], qs4w=v.qs4w[il]
-                    )
                 else:
-                    layer[k] = v[il]
+                    # arrays index directly; quantized containers (W stacks
+                    # — no batched kernel, linear() dense-dequants — and
+                    # "none"-layout logical blocks) slice leaf-wise
+                    layer[k] = jax.tree_util.tree_map(lambda a: a[il], v)
             return layer
 
         if cfg.scan_layers:

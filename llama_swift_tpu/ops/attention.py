@@ -432,6 +432,269 @@ def flash_decode_attention_stacked(
     )(scalars, q, keys, values)
 
 
+# ---------------------------------------------------------------------------
+# batched (continuous-batching) flash decode: per-slot n_past, layer-major
+# [L, B, H, n_ctx, Dh] cache read in place
+# ---------------------------------------------------------------------------
+
+
+def _flash_batched_kernel(
+    s_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref
+):
+    """One (slot, head-block, chunk) step.  s_ref: [1 + B] i32 =
+    (layer_idx, n_past per slot); the chunk grid covers n_ctx but each
+    slot's index map clamps at its OWN high-water mark, so KV bytes/step
+    scale with Σ_b n_past_b, not B·n_ctx (the r4 batched path read the
+    whole dense cache every step — 6.7 GB at 13B/B8/512).
+    q/out: [B, H, Dh] whole-array blocks; k/v: [1, 1, HB, C, Dh]."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    hb, chunk, dh = k_ref.shape[2], k_ref.shape[3], q_ref.shape[2]
+    n_past = s_ref[1 + b]
+    live = n_past // chunk
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= live)
+    def _():
+        scale = 1.0 / np.sqrt(float(dh))
+        qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
+        s = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    qb[hh : hh + 1],
+                    k_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    # HIGHEST: Mosaic defaults f32 dots to single-pass bf16
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        ) * scale  # [HB, C]
+        j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
+        s = jnp.where(j <= n_past, s, NEG_INF)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    p[hh : hh + 1],
+                    v_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[b, pl.dslice(i * hb, hb), :] = (
+            acc_ref[:] / l_ref[:, 0:1]
+        ).astype(out_ref.dtype)
+
+
+def _flash_batched_int8_kernel(
+    s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref
+):
+    """int8-cache batched variant: per-(head, position) scales applied
+    in-kernel (score·ks, p⊙vs before ·V) — the cache streams at 1 B/elem."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    hb, chunk, dh = k_ref.shape[2], k_ref.shape[3], q_ref.shape[2]
+    n_past = s_ref[1 + b]
+    live = n_past // chunk
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= live)
+    def _():
+        scale = 1.0 / np.sqrt(float(dh))
+        qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)
+        s = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    qb[hh : hh + 1],
+                    k_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                * ks_ref[0, 0, hh : hh + 1, :]
+                for hh in range(hb)
+            ],
+            axis=0,
+        ) * scale
+        j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
+        s = jnp.where(j <= n_past, s, NEG_INF)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pe = jnp.exp(s - m_new)
+        p = pe * vs_ref[0, 0]  # fold v scales into the weights
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pe, axis=1, keepdims=True)
+        pv = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    p[hh : hh + 1],
+                    v_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[b, pl.dslice(i * hb, hb), :] = (
+            acc_ref[:] / l_ref[:, 0:1]
+        ).astype(out_ref.dtype)
+
+
+def _batched_h_block(h, chunk, dh, itemsize):
+    hb = max(1, min(h, (1 << 20) // (chunk * dh * itemsize)))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "h_block", "interpret"))
+def flash_decode_attention_batched(
+    q: jnp.ndarray,  # [B, H, Dh] one post-rope query per slot
+    keys: jnp.ndarray,  # [L, B, H, n_ctx, Dh] layer-major batched cache
+    values: jnp.ndarray,  # [L, B, H, n_ctx, Dh]
+    layer_idx,
+    n_pasts: jnp.ndarray,  # [B] i32: slot b attends j <= n_pasts[b]
+    *,
+    chunk: int = 128,
+    h_block: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused B-slot single-query attention over one layer of the batched
+    cache, in place; per-slot O(n_past) KV traffic; returns [B, H, Dh] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    L, B, h, n_ctx, dh = keys.shape
+    chunk = min(chunk, n_ctx)
+    assert n_ctx % chunk == 0, (n_ctx, chunk)
+    if h_block is None:
+        h_block = _batched_h_block(h, chunk, dh, keys.dtype.itemsize)
+    scalars = jnp.concatenate(
+        [jnp.asarray([layer_idx], jnp.int32), n_pasts.astype(jnp.int32)]
+    )
+
+    def kv_map(b, i, c, s):
+        return (s[0], b, i, jnp.minimum(c, s[1 + b] // chunk), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, h // h_block, n_ctx // chunk),
+        in_specs=[
+            pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+            pl.BlockSpec((1, 1, h_block, chunk, dh), kv_map),
+            pl.BlockSpec((1, 1, h_block, chunk, dh), kv_map),
+        ],
+        out_specs=pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_batched_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, keys, values)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "h_block", "interpret"))
+def flash_decode_attention_batched_int8(
+    q: jnp.ndarray,  # [B, H, Dh]
+    keys: jnp.ndarray,  # [L, B, H, n_ctx, Dh] int8
+    values: jnp.ndarray,  # [L, B, H, n_ctx, Dh] int8
+    k_scale: jnp.ndarray,  # [L, B, H, n_ctx, 1] f32
+    v_scale: jnp.ndarray,  # [L, B, H, n_ctx, 1] f32
+    layer_idx,
+    n_pasts: jnp.ndarray,  # [B]
+    *,
+    chunk: int = 128,
+    h_block: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Batched flash decode over the int8 quantized cache (scales applied
+    in-kernel, 1 B/elem streamed); returns [B, H, Dh] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    L, B, h, n_ctx, dh = keys.shape
+    chunk = min(chunk, n_ctx)
+    assert n_ctx % chunk == 0, (n_ctx, chunk)
+    if h_block is None:
+        h_block = _batched_h_block(h, chunk, dh, 1)
+    scalars = jnp.concatenate(
+        [jnp.asarray([layer_idx], jnp.int32), n_pasts.astype(jnp.int32)]
+    )
+    ks = k_scale.reshape(L, B, h, n_ctx)
+    vs = v_scale.reshape(L, B, h, n_ctx)
+
+    def kv_map(b, i, c, s):
+        return (s[0], b, i, jnp.minimum(c, s[1 + b] // chunk), 0)
+
+    def sc_map(b, i, c, s):
+        return (s[0], b, i, jnp.minimum(c, s[1 + b] // chunk))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, h // h_block, n_ctx // chunk),
+        in_specs=[
+            pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+            pl.BlockSpec((1, 1, h_block, chunk, dh), kv_map),
+            pl.BlockSpec((1, 1, h_block, chunk, dh), kv_map),
+            pl.BlockSpec((1, 1, h_block, chunk), sc_map),
+            pl.BlockSpec((1, 1, h_block, chunk), sc_map),
+        ],
+        out_specs=pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_batched_int8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, keys, values, ks, vs)
+
+
 def reference_decode_attention(q, keys, values, n_past):
     """Unfused reference for tests: q [H, Dh], cache [H, n_ctx, Dh]."""
     h, n_ctx, dh = keys.shape

@@ -128,4 +128,9 @@ def q4_dense_matmul_pm(x2, qs4v, sc_or_sm, *, is_q41=False,
         qs4v, sc_or_sm, is_q41=is_q41, dtype=mm_dtype, interpret=interpret
     )
     x_pm = phase_major_x(x2, block_perm=w_block_perm).astype(mm_dtype)
-    return jnp.dot(x_pm, wd.T, preferred_element_type=jnp.float32)
+    # HIGHEST: with f32 operands (mm_dtype=f32, e.g. batched decode) the
+    # default lowers to single-pass bf16 on the MXU — 2e-1 logit drift vs
+    # the jnp path (caught by the r5 batched_v selfcheck family).  bf16
+    # operands (prefill) are unaffected: bf16×bf16→f32 is the native pass.
+    return jnp.dot(x_pm, wd.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)

@@ -146,7 +146,10 @@ _XSC = [float(16.0 ** -p) for p in range(7)] + [1.0]
 
 
 def _ggml_norm_row(x, w, norm_type: str, eps: float):
-    """x, w: [1, D] f32 — mean-centered ggml norm (or rmsnorm) · weight."""
+    """x, w: [1, D] f32 — mean-centered ggml norm (or rmsnorm) · weight.
+
+    Also correct for 2-D [R, 128] row-major activations (the reductions are
+    over the whole array either way)."""
     if norm_type == "layernorm":
         mean = jnp.mean(x)
         c = x - mean
@@ -193,6 +196,22 @@ def _quant_prep(h):
     return xr, aux
 
 
+def _quant_prep2d_interp(y):
+    """Interpret-mode 2-D prep: y [R, 128] row-major (row r = elements
+    [128r, 128(r+1))) → the same (xr, aux) as :func:`_quant_prep`."""
+    return _quant_prep(y.reshape(1, y.shape[0] * LANES))
+
+
+def _pad_rows(y, rows: int):
+    """Zero-pad [R, 128] activations along sublanes up to ``rows`` (the
+    weight in-dim / 128); zero blocks quantize to zero and contribute
+    nothing — the 2-D analogue of :func:`_pad_h`."""
+    pad = rows - y.shape[0]
+    if pad:
+        y = jnp.concatenate([y, jnp.zeros((pad, LANES), jnp.float32)], axis=0)
+    return y
+
+
 def _quant_prep_mosaic(h):
     """Mosaic-lowerable `_quant_prep`: identical outputs, expressed with only
     ops the TPU compiler accepts (probed r3): [1,N]→[N/128,128] reshape,
@@ -200,8 +219,13 @@ def _quant_prep_mosaic(h):
     contiguous sublane slices, lane/sublane concatenation.  The natural
     reshape formulation crashes Mosaic on lane-splitting reshapes; this one
     never splits lanes."""
-    D = h.shape[1]
-    R = D // LANES
+    return _quant_prep2d_mosaic(h.reshape(h.shape[1] // LANES, LANES))
+
+
+def _quant_prep2d_mosaic(y):
+    """2-D core of :func:`_quant_prep_mosaic`: y [R, 128] row-major
+    activations (row r = elements [128r, 128(r+1)))."""
+    R = y.shape[0]
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) % QK
 
     def seg_reduce(a, op):
@@ -216,7 +240,6 @@ def _quant_prep_mosaic(h):
             a = jnp.where((lane32 & k) != 0, pltpu.roll(a, shift=k, axis=1), a)
         return a
 
-    y = h.reshape(R, LANES)
     d_full = seg_broadcast(seg_reduce(jnp.abs(y), jnp.maximum)) / 7.0
     inv = jnp.where(d_full > 0, 1.0 / jnp.where(d_full > 0, d_full, 1.0), 0.0)
     q = jnp.trunc(y * inv + jnp.where(y >= 0, 0.5, -0.5))
@@ -639,6 +662,363 @@ def _make_attn_kernel(H: int, ot_qkv: int, kh4: int, ctx_chunk: int,
         jax.lax.fori_loop(0, steps, body, 0, unroll=False)
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# whole-stack kernel: ONE pallas call for all L layers
+# ---------------------------------------------------------------------------
+
+
+def pick_ctx_chunk(n_ctx: int, max_chunks: int = 16) -> int:
+    """Smallest 128-multiple chunk dividing ``n_ctx`` with at most
+    ``max_chunks`` chunks (the whole-stack kernel keeps every live KV chunk
+    resident in VMEM so their DMAs can overlap the wqkv weight stream)."""
+    if n_ctx % 128:
+        return n_ctx  # odd context: one resident chunk
+    k = n_ctx // 128
+    for m in range(1, k + 1):
+        if k % m == 0 and k // m <= max_chunks:
+            return 128 * m
+    return n_ctx
+
+
+#: DMA ring depth for the whole-stack kernel.  Deeper than the matvec
+#: kernels' NBUF=6: between weight phases the kernel runs glue (attention,
+#: SwiGLU, norms, activation prep) during which NO new tile DMAs are issued
+#: — the ring's NBUF-1 outstanding tiles are the only buffer keeping the
+#: HBM stream busy.  12 tiles ≈ 4-5 µs of stream covers the measured
+#: per-phase glue at decode n_past; beyond that only VMEM cost grows.
+NBUF_STACK = 12
+
+
+def _make_layers_kernel(L, H, ot13, kh4, kh4_2, n_chunks, ctx_chunk,
+                        norm_type, eps, mosaic_prep):
+    from .q4_vpu_pallas import _vpu_core
+
+    NB = NBUF_STACK
+    nb = kh4 // 4
+    nb2 = kh4_2 // 4
+    R_attn = kh4 // 16  # weight in-dim rows (= padded D / 128)
+    R2 = kh4_2 // 16
+    SPL = 3 * H + H + ot13 + H  # tiles per layer
+    assert SPL >= NB - 1, (SPL, NB)
+
+    def kernel(s_ref, x_ref, anorm_ref, fnorm_ref, cos_ref, sin_ref,
+               wqkv_qs, wqkv_sc, wo_qs, wo_sc, w13_qs, w13_sc, w2_qs, w2_sc,
+               kc, vc,
+               out_ref, knew_ref, vnew_ref,
+               qbuf, sbuf, qkvbuf, gbuf, obuf, x2d, xr_ref, aux_ref, kvbuf,
+               qsem, ssem, kvsem):
+        n_past = s_ref[0]
+        prep2d = _quant_prep2d_mosaic if mosaic_prep else _quant_prep2d_interp
+        n_live = (n_past + ctx_chunk - 1) // ctx_chunk
+        scale = 1.0 / float(np.sqrt(128.0))
+
+        def wcopies(qs_h, sc_h, il, t, slot, kw, nbw):
+            return (
+                pltpu.make_async_copy(
+                    qs_h.at[il, t], qbuf.at[slot, :, :kw], qsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    sc_h.at[il, t], sbuf.at[slot, :, :nbw], ssem.at[slot]
+                ),
+            )
+
+        # Static per-layer phase table: (qs, sc, count, kh, nb).  Each tile
+        # loop starts the DMA NB-1 positions ahead; the lookahead target is
+        # routed by STATIC successor segments (the tail of each phase falls
+        # into the next phase(s), wrapping to the next layer after w2).
+        # The first megakernel cut routed every start with g//SPL divisions
+        # + 8 predicates inside ONE giant loop body and lost ~20% of decode
+        # to per-step scalar/branch overhead (128 vs 151 tok/s at 7B).
+        phases = [
+            (wqkv_qs, wqkv_sc, 3 * H, kh4, nb),
+            (wo_qs, wo_sc, H, kh4, nb),
+            (w13_qs, w13_sc, ot13, kh4, nb),
+            (w2_qs, w2_sc, H, kh4_2, nb2),
+        ]
+
+        def start_ahead(p, il, j, g_ahead):
+            """Start the weight-tile DMA NB-1 positions ahead of (phase p,
+            local tile j): rel = j + NB - 1 is resolved against the static
+            successor chain, 1-2 predicates per step, no divisions."""
+            slot = g_ahead % NB
+            rel = j + NB - 1
+            offs, k = 0, p
+            while offs < phases[p][2] + NB - 1:  # reachable segments only
+                qs_h, sc_h, cnt, kw, nbw = phases[k % 4]
+                wrapped = k >= 4  # chain crossed into the next layer
+                cond = jnp.logical_and(rel >= offs, rel < offs + cnt)
+                if wrapped:
+                    cond = jnp.logical_and(cond, il + 1 < L)
+                lay = il + 1 if wrapped else il
+
+                @pl.when(cond)
+                def _(qs_h=qs_h, sc_h=sc_h, kw=kw, nbw=nbw, offs=offs,
+                      lay=lay):
+                    a, b = wcopies(qs_h, sc_h, lay, rel - offs, slot, kw, nbw)
+                    a.start()
+                    b.start()
+
+                offs += cnt
+                k += 1
+
+        def kv_copy(il, c):
+            off = pl.multiple_of(c * ctx_chunk, ctx_chunk)
+            return (
+                pltpu.make_async_copy(
+                    kc.at[il, :, pl.ds(off, ctx_chunk), :],
+                    kvbuf.at[c, 0], kvsem.at[c, 0],
+                ),
+                pltpu.make_async_copy(
+                    vc.at[il, :, pl.ds(off, ctx_chunk), :],
+                    kvbuf.at[c, 1], kvsem.at[c, 1],
+                ),
+            )
+
+        def tile_loop(p, il, base, consume):
+            """One weight phase: for j in [0, count): start the DMA NB-1
+            ahead, wait tile j, matvec, hand the [128, 1] result to
+            ``consume(j, y)``.  Small body: one start (1-2 predicates), one
+            wait, one matvec, one store."""
+            qs_h, sc_h, cnt, kw, nbw = phases[p]
+
+            def body(j, carry):
+                slot = (base + j) % NB
+                start_ahead(p, il, j, base + j + NB - 1)
+                a, b = wcopies(qs_h, sc_h, il, j, slot, kw, nbw)
+                a.wait()
+                b.wait()
+                y = _vpu_core(qbuf[slot, :, :kw], xr_ref[:, :kw],
+                              aux_ref[:, :nbw], sbuf[slot, :, :nbw])
+                consume(j, y)
+                return carry
+
+            jax.lax.fori_loop(0, cnt, body, 0, unroll=False)
+            return base + cnt
+
+        x2d[:, :] = x_ref[:, :]
+        for w in range(NB - 1):  # warm-up: first tiles of layer 0
+            p, lo = 0, 0
+            while w - lo >= phases[p][2]:  # static spill into later phases
+                lo += phases[p][2]
+                p += 1
+            qs_h, sc_h, cnt, kw, nbw = phases[p]
+            a, b = wcopies(qs_h, sc_h, 0, jnp.int32(w - lo), w % NB, kw, nbw)
+            a.start()
+            b.start()
+
+        def per_layer(il, base):
+            # ---- attn norm + prep; ALL live KV history chunks start
+            # streaming NOW so they arrive during the wqkv weight phase
+            # (r4's #1 gap: KV DMAs only started after the wqkv stream) ----
+            for c in range(n_chunks):
+
+                @pl.when(c < n_live)
+                def _(c=c):
+                    a, b = kv_copy(il, jnp.int32(c))
+                    a.start()
+                    b.start()
+
+            h = _ggml_norm_row(x2d[:, :], anorm_ref[il], norm_type, eps)
+            xr, aux = prep2d(_pad_rows(h, R_attn))
+            xr_ref[:, :kh4] = xr
+            aux_ref[:, :nb] = aux
+
+            def to_qkv(j, y):
+                qkvbuf[j] = jnp.broadcast_to(y.T, (8, LANES))
+
+            base = tile_loop(0, il, base, to_qkv)
+
+            # ---- rope + flash attention over the prefetched chunks --------
+            q = _rope_row(qkvbuf[0:H, 0, :], cos_ref[:, :], sin_ref[:, :])
+            k = _rope_row(qkvbuf[H : 2 * H, 0, :], cos_ref[:, :], sin_ref[:, :])
+            v = qkvbuf[2 * H : 3 * H, 0, :]
+            # round-trip through the cache dtype so the new token's own
+            # softmax term sees exactly what later steps will read back
+            k = k.astype(kvbuf.dtype).astype(jnp.float32)
+            v = v.astype(kvbuf.dtype).astype(jnp.float32)
+            knew_ref[il] = k
+            vnew_ref[il] = v
+
+            def att_body(c, att):
+                m, l, acc = att
+                a, b = kv_copy(il, c)
+                a.wait()
+                b.wait()
+                kcb = kvbuf[c, 0].astype(jnp.float32)  # [H, C, 128]
+                vcb = kvbuf[c, 1].astype(jnp.float32)
+                # HIGHEST: Mosaic's default lowers f32 dots to single-pass
+                # bf16 on the MXU (r4 selfcheck catch)
+                s = jnp.concatenate(
+                    [
+                        jax.lax.dot_general(
+                            q[hh : hh + 1, :], kcb[hh],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        for hh in range(H)
+                    ],
+                    axis=0,
+                ) * scale  # [H, C]
+                jidx = c * ctx_chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (H, ctx_chunk), 1
+                )
+                s = jnp.where(jidx < n_past, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                pv = jnp.concatenate(
+                    [
+                        jax.lax.dot_general(
+                            p[hh : hh + 1], vcb[hh],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        for hh in range(H)
+                    ],
+                    axis=0,
+                )
+                return m_new, l, acc * alpha + pv
+
+            m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((H, 1), jnp.float32)
+            a0 = jnp.zeros((H, LANES), jnp.float32)
+            m, l, acc = jax.lax.fori_loop(0, n_live, att_body, (m0, l0, a0))
+            # the new token's own (j == n_past) softmax term
+            sn = jnp.sum(q * k, axis=1, keepdims=True) * scale
+            m_f = jnp.maximum(m, sn)
+            alpha = jnp.exp(m - m_f)
+            pn = jnp.exp(sn - m_f)
+            l = l * alpha + pn
+            acc = acc * alpha + pn * v
+            ctx = acc / l  # [H, 128]
+            xr, aux = prep2d(_pad_rows(ctx, R_attn))
+            xr_ref[:, :kh4] = xr
+            aux_ref[:, :nb] = aux
+
+            def to_obuf(j, y):
+                obuf[j] = jnp.broadcast_to(y.T, (8, LANES))
+
+            base = tile_loop(1, il, base, to_obuf)
+
+            # ---- wo residual + ffn norm + prep (w13 already streaming) ----
+            x2d[:, :] = x2d[:, :] + obuf[0:H, 0, :]
+            h = _ggml_norm_row(x2d[:, :], fnorm_ref[il], norm_type, eps)
+            xr, aux = prep2d(_pad_rows(h, R_attn))
+            xr_ref[:, :kh4] = xr
+            aux_ref[:, :nb] = aux
+
+            def to_gbuf(j, y):
+                gbuf[j] = jnp.broadcast_to(y.T, (8, LANES))
+
+            base = tile_loop(2, il, base, to_gbuf)
+
+            # ---- SwiGLU + w2 prep (w2 tiles already streaming) ------------
+            g1 = gbuf[0 : ot13 // 2, 0, :]
+            g3 = gbuf[ot13 // 2 : ot13, 0, :]
+            gate = (g1 / (1.0 + jnp.exp(-g1))) * g3  # exact f32 silu
+            xr, aux = prep2d(_pad_rows(gate, R2))
+            xr_ref[:, :kh4_2] = xr
+            aux_ref[:, :nb2] = aux
+
+            base = tile_loop(3, il, base, to_obuf)
+            x2d[:, :] = x2d[:, :] + obuf[0:H, 0, :]  # w2 residual
+            return base
+
+        jax.lax.fori_loop(0, L, per_layer, jnp.int32(0), unroll=False)
+        out_ref[:, :] = x2d[:, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("norm_type", "eps", "ctx_chunk", "interpret"),
+)
+def fused_layers_block(
+    x,  # [H, 128] f32 row-major residual stream (row r = dims [128r, ...))
+    attn_norms, ffn_norms,  # [L, H, 128] f32
+    cos_row, sin_row,  # [1, 128] f32 rope vectors for position n_past
+    wqkv_qs, wqkv_sc,  # stacked fused layout [L, 3H, 128, kh4]/[L, 3H, 128, nb]
+    wo_qs, wo_sc,  # [L, H, 128, kh4] / [L, H, 128, nb]
+    w13_qs, w13_sc,  # [L, ot13, 128, kh4] / [L, ot13, 128, nb]
+    w2_qs, w2_sc,  # [L, H, 128, kh4_2] / [L, H, 128, nb2]
+    k_cache, v_cache,  # [L, H, n_ctx, 128] (read-only history)
+    n_past,
+    *,
+    norm_type: str = "layernorm",
+    eps: float = 1e-5,
+    ctx_chunk: int = 128,
+    interpret: bool = False,
+):
+    """ALL transformer layers in ONE kernel: the weight-DMA ring is routed
+    across every matmul of every layer, so the HBM weight stream literally
+    never stops — not at the attn/FFN boundary, not at layer boundaries
+    (r4's two-kernels-per-layer design drained the pipe 2L times per token).
+    KV history chunks for layer il start streaming at il's first wqkv step
+    and are consumed by the in-kernel flash attention one weight-phase later.
+
+    The cache is READ-only here; the new token's per-layer K/V come back as
+    outputs for the caller to write at position n_past (one
+    dynamic_update_slice covering all layers).  Requires head_dim == 128.
+    Returns (x_out [H, 128], k_new [L, H, 128], v_new [L, H, 128])."""
+    L, ot_qkv, _, kh4 = wqkv_qs.shape
+    _, ot13, _, kh4_13 = w13_qs.shape
+    _, ot2, _, kh4_2 = w2_qs.shape
+    _, H, n_ctx, dh = k_cache.shape
+    assert dh == LANES and ot_qkv == 3 * H and ot2 == H, (H, ot_qkv, ot2)
+    assert kh4_13 == kh4 and wo_qs.shape[1] == H, (kh4_13, kh4)
+    assert n_ctx % ctx_chunk == 0, (n_ctx, ctx_chunk)
+    n_chunks = n_ctx // ctx_chunk
+    kernel = _make_layers_kernel(
+        L, H, ot13, kh4, kh4_2, n_chunks, ctx_chunk, norm_type, eps,
+        mosaic_prep=not interpret,
+    )
+    kh4m = max(kh4, kh4_2)
+    nbm = kh4m // 4
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 10,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((L, H, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((L, H, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF_STACK, LANES, kh4m), jnp.int32),
+            pltpu.VMEM((NBUF_STACK, LANES, nbm), jnp.float32),
+            pltpu.VMEM((3 * H, 8, LANES), jnp.float32),
+            pltpu.VMEM((ot13, 8, LANES), jnp.float32),
+            pltpu.VMEM((H, 8, LANES), jnp.float32),
+            pltpu.VMEM((H, LANES), jnp.float32),
+            pltpu.VMEM((PHASES, kh4m), jnp.float32),
+            pltpu.VMEM((2, nbm), jnp.float32),
+            pltpu.VMEM((n_chunks, 2, H, ctx_chunk, LANES), k_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF_STACK,)),
+            pltpu.SemaphoreType.DMA((NBUF_STACK,)),
+            pltpu.SemaphoreType.DMA((n_chunks, 2)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        jnp.full((1,), n_past, jnp.int32), x, attn_norms, ffn_norms,
+        cos_row, sin_row,
+        wqkv_qs, wqkv_sc, wo_qs, wo_sc, w13_qs, w13_sc, w2_qs, w2_sc,
+        k_cache, v_cache,
+    )
 
 
 @functools.partial(

@@ -349,7 +349,12 @@ def _manual_stream_loop(
         qdma(slot, j).wait()
         sdma(slot, j).wait()
         y = core(qbuf[slot], xr_ref, aux_ref, sbuf[slot])
-        out_ref[j] = jnp.broadcast_to(y, (OUT_TILE, OUT_LANES))
+        # single-row cores return [128, 1] (lane-broadcast to the output
+        # tile); multi-row cores return [128, B] stored as-is
+        out_ref[j] = (
+            jnp.broadcast_to(y, (OUT_TILE, OUT_LANES)) if y.shape[1] == 1
+            else y
+        )
         return ()
 
     jax.lax.fori_loop(0, steps, body, (), unroll=False)
@@ -726,6 +731,242 @@ def q4_0_vpu_matvec_stacked(
         layer_idx, xr, aux, qs4v, scales_v, interpret=interpret
     )
     return y.reshape(*lead, ot * lt).astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# multi-row (batched-decode) kernels: one weight stream, B activation rows
+# ---------------------------------------------------------------------------
+
+#: rows the multi-row kernel accepts.  Cost model: per packed word the VPU
+#: does 2 shared dequant ops (mask+convert) + B FMAs → (2+B) ops/weight
+#: against the ~2.9 ops/weight budget at the HBM roofline, so small batches
+#: are bandwidth-bound-ish and large batches compute-bound but still far
+#: faster than re-streaming weights per row (vmap) or the dense-dequant
+#: fallback (2 extra HBM passes).  32 keeps the per-slot VMEM state small.
+MAX_MULTI_ROWS = 32
+
+
+def _vpu_core_multi(xl, xr_ref, aux_ref, scales, B: int):
+    """B-row extension of :func:`_vpu_core`.
+
+    xl: i32 [128, KH4]; xr: f32 [B·8, KH4] (rows b·8+p = row b's phase p,
+    pre-scaled by 16^-p); aux: f32 [2·B, NB] (rows 2b / 2b+1 = row b's d_x /
+    8·Σq); scales: f32 [128, NB].  Returns y [128, B] f32.
+
+    The nibble isolation (AND + exact int→f32 convert) is hoisted out of the
+    per-row loop — the dequant cost amortizes over the batch, which is the
+    entire point vs running the matvec B times.
+    """
+    kh4 = xl.shape[1]
+    nb = kh4 // 4
+    nibs = [
+        (xl & _MASKS[p]).astype(jnp.float32) for p in range(7)
+    ] + [jax.lax.shift_right_logical(xl, 28).astype(jnp.float32)]
+    cols = []
+    for b in range(B):
+        acc = nibs[0] * xr_ref[b * 8 : b * 8 + 1, :]
+        for p in range(1, PHASES):
+            acc = acc + nibs[p] * xr_ref[b * 8 + p : b * 8 + p + 1, :]
+        accb = (
+            acc[:, 0 * nb : 1 * nb]
+            + acc[:, 1 * nb : 2 * nb]
+            + acc[:, 2 * nb : 3 * nb]
+            + acc[:, 3 * nb : 4 * nb]
+        )  # [128, NB]
+        s_eff = scales * aux_ref[2 * b : 2 * b + 1, :]
+        cols.append(
+            jnp.sum(
+                (accb - aux_ref[2 * b + 1 : 2 * b + 2, :]) * s_eff,
+                axis=1, keepdims=True,
+            )
+        )
+    return jnp.concatenate(cols, axis=1)  # [128, B]
+
+
+def _make_multi_kernel(B: int, stacked: bool):
+    def core(xl, xr_ref, aux_ref, scales):
+        return _vpu_core_multi(xl, xr_ref, aux_ref, scales, B)
+
+    if stacked:
+
+        def kernel(il_ref, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref,
+                   qbuf, sbuf, qsem, ssem):
+            il = il_ref[0]
+            _manual_stream_loop(
+                lambda j: (il, j), qs4_hbm.shape[1], xr_ref, aux_ref,
+                qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem, core=core,
+            )
+
+        return kernel
+
+    def kernel(xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref,
+               qbuf, sbuf, qsem, ssem):
+        _manual_stream_loop(
+            lambda j: (j,), qs4_hbm.shape[0], xr_ref, aux_ref,
+            qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem, core=core,
+        )
+
+    return kernel
+
+
+def _multi_grid_kernel(B: int):
+    """Auto-pipelined grid variant for interpret mode (shares the core)."""
+
+    def kernel(xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
+        out_ref[0] = _vpu_core_multi(
+            qs4_ref[0], xr_ref, aux_ref, scales_ref[0], B
+        )
+
+    return kernel
+
+
+def _multi_grid_kernel_stacked(B: int):
+    def kernel(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
+        del il_ref  # consumed by the BlockSpec index maps
+        out_ref[0] = _vpu_core_multi(
+            qs4_ref[0, 0], xr_ref, aux_ref, scales_ref[0, 0], B
+        )
+
+    return kernel
+
+
+def _prep_inputs_multi(x2: jnp.ndarray, kh4: int, quantize_acts: bool):
+    """x2 f32 [B, in] → (xr [B·8, kh4], aux [2B, nb]) — the B-row operand
+    set of :func:`_vpu_core_multi` (row-interleaved per slot)."""
+    B = x2.shape[0]
+    in_dim = kh4 * PHASES
+    nb = in_dim // QK
+    if quantize_acts:
+        qx, dx = quantize_activations_q4_0_int(x2)  # [B, in], [B, nb]
+    else:
+        qx = x2.astype(jnp.float32)
+        dx = jnp.ones((B, nb), jnp.float32)
+    xsc = jnp.asarray(_XSCALE, jnp.float32)
+    xr = qx.reshape(B, nb, 4, PHASES).transpose(0, 3, 2, 1).reshape(
+        B, PHASES, kh4
+    ) * xsc[None, :, None]
+    xr = xr.reshape(B * PHASES, kh4)
+    corr = 8.0 * qx.reshape(B, nb, QK).sum(axis=2)  # [B, nb]
+    aux = jnp.stack([dx, corr], axis=1).reshape(2 * B, nb)
+    return xr, aux
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_vpu_call_multi(xr, aux, qs4v, scales_v, *, interpret=False):
+    ot, lt, kh4 = qs4v.shape
+    nb = scales_v.shape[2]
+    B = xr.shape[0] // PHASES
+    if interpret:
+        out = pl.pallas_call(
+            _multi_grid_kernel(B),
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((B * PHASES, kh4), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * B, nb), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lt, kh4), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lt, nb), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, lt, B), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ot, lt, B), jnp.float32),
+            interpret=True,
+        )(xr, aux, qs4v, scales_v)
+        return out.transpose(2, 0, 1).reshape(B, ot * lt)
+    out = pl.pallas_call(
+        _make_multi_kernel(B, stacked=False),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ot, lt, B), jnp.float32),
+        scratch_shapes=_manual_scratch(lt, kh4, nb),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * ot * lt * kh4 * PHASES,
+            bytes_accessed=ot * lt * (kh4 + nb) * 4,
+            transcendentals=0,
+        ),
+    )(xr, aux, qs4v, scales_v)
+    return out.transpose(2, 0, 1).reshape(B, ot * lt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_vpu_call_multi_stacked(layer_idx, xr, aux, qs4v, scales_v, *,
+                                 interpret=False):
+    L, ot, lt, kh4 = qs4v.shape
+    nb = scales_v.shape[3]
+    B = xr.shape[0] // PHASES
+    if interpret:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((B * PHASES, kh4), lambda j, il: (0, 0)),
+                pl.BlockSpec((2 * B, nb), lambda j, il: (0, 0)),
+                pl.BlockSpec((1, 1, lt, kh4), lambda j, il: (il[0], j, 0, 0)),
+                pl.BlockSpec((1, 1, lt, nb), lambda j, il: (il[0], j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, lt, B), lambda j, il: (j, 0, 0)),
+        )
+        out = pl.pallas_call(
+            _multi_grid_kernel_stacked(B),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ot, lt, B), jnp.float32),
+            interpret=True,
+        )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, scales_v)
+        return out.transpose(2, 0, 1).reshape(B, ot * lt)
+    out = pl.pallas_call(
+        _make_multi_kernel(B, stacked=True),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ot, lt, B), jnp.float32),
+        scratch_shapes=_manual_scratch(lt, kh4, nb),
+    )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, scales_v)
+    return out.transpose(2, 0, 1).reshape(B, ot * lt)
+
+
+def q4_0_vpu_matmul_multi(
+    x: jnp.ndarray,  # [..., in] with 2 <= prod(lead) <= MAX_MULTI_ROWS
+    w: Q4_0TensorV,
+    layer_idx=None,  # not None: w leaves carry a leading [L] axis
+    *,
+    quantize_acts: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched-decode Q4_0 matmul: streams the packed weights ONCE for all
+    B rows (the continuous-batching analogue of :func:`q4_0_vpu_matvec`;
+    exact ``ggml_vec_dot_q4_0`` int4×int4 semantics per row).
+    """
+    qs4v = jnp.asarray(w.qs4v)
+    scales_v = jnp.asarray(w.scales_v)
+    kh4 = qs4v.shape[-1]
+    lead = x.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    assert 1 <= B <= MAX_MULTI_ROWS, B
+    x2 = _pad_x(x.reshape(B, x.shape[-1]).astype(jnp.float32), kh4 * PHASES)
+    xr, aux = _prep_inputs_multi(x2, kh4, quantize_acts)
+    if layer_idx is None:
+        y = _q4_0_vpu_call_multi(xr, aux, qs4v, scales_v, interpret=interpret)
+    else:
+        y = _q4_0_vpu_call_multi_stacked(
+            layer_idx, xr, aux, qs4v, scales_v, interpret=interpret
+        )
+    out = qs4v.shape[-3] * qs4v.shape[-2]
+    return y.reshape(*lead, out).astype(compute_dtype)
 
 
 # ---------------------------------------------------------------------------

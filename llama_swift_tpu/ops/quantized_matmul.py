@@ -154,11 +154,13 @@ def linear(
         q4_0_matmul_pallas_stacked,
     )
     from .q4_vpu_pallas import (
+        MAX_MULTI_ROWS,
         Q4_0TensorV,
         Q4_1TensorV,
         StackedQ4VRef,
         dequantize_q4_0v_jnp,
         dequantize_q4_1v_jnp,
+        q4_0_vpu_matmul_multi,
         q4_0_vpu_matvec,
         q4_0_vpu_matvec_stacked,
         q4_1_vpu_matvec,
@@ -185,6 +187,16 @@ def linear(
                 quantize_acts=quantize_activations, compute_dtype=compute_dtype,
                 interpret=interp,
             )
+        if (
+            use_pallas and isinstance(w.w, Q4_0TensorV)
+            and 1 < n_rows <= MAX_MULTI_ROWS
+        ):
+            # batched decode: ONE weight stream for all B slot rows
+            return q4_0_vpu_matmul_multi(
+                x, w.w, w.layer_idx,
+                quantize_acts=quantize_activations,
+                compute_dtype=compute_dtype, interpret=interp,
+            )
         return linear(
             x, w.at_layer(), quantize_activations=quantize_activations,
             compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
@@ -201,6 +213,12 @@ def linear(
             # quantize_activations)
             mv = q4_1_vpu_matvec if is_q41 else q4_0_vpu_matvec
             return mv(
+                x, w, quantize_acts=quantize_activations,
+                compute_dtype=compute_dtype, interpret=interp,
+            )
+        if use_pallas and not is_q41 and 1 < n_rows <= MAX_MULTI_ROWS:
+            # small row counts (batched decode): one weight stream, B rows
+            return q4_0_vpu_matmul_multi(
                 x, w, quantize_acts=quantize_activations,
                 compute_dtype=compute_dtype, interpret=interp,
             )
@@ -233,8 +251,9 @@ def linear(
                 else dequantize_q4_0v_jnp(w, dtype=mm_dtype)
             )
             y = jnp.dot(
-                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+                x2.astype(mm_dtype), wd.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         return y.reshape(*lead, out_dim).astype(compute_dtype)
 
@@ -294,7 +313,8 @@ def linear(
         x = _pad_x_to(x.astype(mm_dtype), w.qs4.shape[1] * 8)
         wd = dequantize_q4_0t_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x, wd.T, preferred_element_type=jnp.float32,
+            x, wd.T,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
     from .q4_fused_layer import Q4_0TensorW, dequantize_q4_0w_jnp
@@ -324,8 +344,9 @@ def linear(
         else:
             wd = dequantize_q4_0w_jnp(w, dtype=mm_dtype)
             y = jnp.dot(
-                x2.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+                x2.astype(mm_dtype), wd.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         return y.reshape(*lead, out_dim).astype(compute_dtype)
     if isinstance(w, Q4_0Tensor):
@@ -333,7 +354,8 @@ def linear(
             x = fake_quantize_q4_0(x)
         wd = dequantize_q4_0_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
+            x.astype(mm_dtype), wd.T,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
     if isinstance(w, Q4_1Tensor):
@@ -344,14 +366,15 @@ def linear(
             x = fake_quantize_q4_1(x)
         wd = dequantize_q4_1_jnp(w, dtype=mm_dtype)
         return jnp.dot(
-            x.astype(mm_dtype), wd.T, preferred_element_type=jnp.float32,
+            x.astype(mm_dtype), wd.T,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
     w = jnp.asarray(w)
     return jnp.dot(
         x.astype(compute_dtype), w.astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(compute_dtype)
 
 

@@ -176,24 +176,52 @@ def _local_forward(params, tokens, n_past, cache, cfg: ModelConfig, tp: int):
         D = cfg.n_embd
         d_local = D // tp
         h = norm(x, layer["attention_norm"], cfg.norm_type, cfg.norm_eps)
-        q = lin(h, layer["wq"]).reshape(N, h_local, cfg.head_dim)
-        k = lin(h, layer["wk"]).reshape(N, h_local, cfg.head_dim)
-        v = lin(h, layer["wv"]).reshape(N, h_local, cfg.head_dim)
+        if "wqkv" in layer:
+            # shard-interleaved fused concat (params_from_tensors
+            # fuse_shards=tp): this shard's local out rows ARE (q_r; k_r;
+            # v_r) — one kernel launch and one activation prep instead of 3
+            qkv = lin(h, layer["wqkv"])  # [N, 3·d_local]
+            q = qkv[:, 0 * d_local : 1 * d_local]
+            k = qkv[:, 1 * d_local : 2 * d_local]
+            v = qkv[:, 2 * d_local : 3 * d_local]
+            q = q.reshape(N, h_local, cfg.head_dim)
+            k = k.reshape(N, h_local, cfg.head_dim)
+            v = v.reshape(N, h_local, cfg.head_dim)
+        else:
+            q = lin(h, layer["wq"]).reshape(N, h_local, cfg.head_dim)
+            k = lin(h, layer["wk"]).reshape(N, h_local, cfg.head_dim)
+            v = lin(h, layer["wv"]).reshape(N, h_local, cfg.head_dim)
         q = rope(q, positions, cfg.head_dim)
         k = rope(k, positions, cfg.head_dim)
         c = cache_write(c, "k", k, il)
         c = cache_write(c, "v", v, il)
-        ctx = model_lib._attention(
-            q, c["k"][il], c["v"][il], n_past, cfg.n_ctx, compute_dtype
-        )  # [N, h_local, Dh]
+        if cfg.use_flash_decode and N == 1:
+            # head-sharded cache is LOCAL: per-shard flash decode, O(n_past)
+            # KV traffic, no extra comm (VERDICT r4 #5 — the TP path used to
+            # force the dense O(n_ctx) attention)
+            from ..ops.attention import flash_decode_attention_stacked
+
+            chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
+            ctx = flash_decode_attention_stacked(
+                q[0], c["k"], c["v"], il, n_past, chunk=chunk
+            )[None].astype(compute_dtype)
+        else:
+            ctx = model_lib._attention(
+                q, c["k"][il], c["v"][il], n_past, cfg.n_ctx, compute_dtype
+            )  # [N, h_local, Dh]
         ctx_full = ag(ctx.reshape(N, d_local))  # [N, D] (head-major across ranks)
         xo = lin(ctx_full, layer["wo"])  # [N, D/tp] local out rows
         x = x + ag(xo)
         h = norm(x, layer["ffn_norm"], cfg.norm_type, cfg.norm_eps)
-        g1 = lin(h, layer["w1"])  # [N, ff_local]
-        g3 = lin(h, layer["w3"])
+        if "w13" in layer:
+            g13 = lin(h, layer["w13"])  # [N, 2·ff_local], (w1_r; w3_r)
+            ffl = g13.shape[1] // 2
+            g1, g3 = g13[:, :ffl], g13[:, ffl:]
+        else:
+            g1 = lin(h, layer["w1"])  # [N, ff_local]
+            g3 = lin(h, layer["w3"])
         gate = jax.nn.silu(g1.astype(jnp.float32)).astype(compute_dtype) * g3
-        gate_full = ag(gate)  # [N, ff_pad]
+        gate_full = ag(gate)  # [N, ff_pad] (rank-contiguous = global order)
         x2 = lin(gate_full, layer["w2"])  # [N, D/tp]
         x = x + ag(x2)
         return x, c
@@ -236,14 +264,10 @@ def make_tp_forward(mesh: Mesh, cfg: ModelConfig, params, cache):
     path (CPU mesh tests)."""
     tp = mesh.shape["tp"]
     assert cfg.n_head % tp == 0, (cfg.n_head, tp)
-    keys = params.get("layers_stacked", {}).keys() or (
-        params["layers"][0].keys() if params.get("layers") else ()
-    )
-    assert "wqkv" not in keys and "w13" not in keys, (
-        "TP shard_map needs unfused q/k/v and w1/w3 "
-        "(params_from_tensors(..., fuse_layer_matmuls=False)): the fused "
-        "out-dim concat would interleave shards"
-    )
+    # fused wqkv/w13 ARE supported — but only the shard-interleaved concat
+    # (params_from_tensors(..., fuse_shards=tp)); the global concat would
+    # interleave shards' rows across ranks.  Not detectable from shapes —
+    # the caller owns this invariant (serve.py passes fuse_shards=tp).
     pspecs = tp_param_specs(params)
     cspec = {k: tp_cache_spec() for k in cache}
 

@@ -50,14 +50,14 @@ def topk_topp_probs(
     the reference draws from; probs beyond the top-p cut are exact zeros."""
     v = logits.shape[0]
     logits = logits.astype(jnp.float32)
-    scaled = logits / jnp.float32(temp)
+    # temp/top_p/repeat_penalty may be TRACED scalars (the engine's batched
+    # sampler passes them as per-slot arrays under vmap); only top_k is
+    # shape-static
+    scaled = logits / jnp.asarray(temp, jnp.float32)
     if penalize:
         in_ring = jnp.zeros((v,), bool).at[jnp.clip(ring, 0, v - 1)].set(True)
-        pen = jnp.where(
-            logits < 0.0,
-            scaled * jnp.float32(repeat_penalty),
-            scaled / jnp.float32(repeat_penalty),
-        )
+        rp = jnp.asarray(repeat_penalty, jnp.float32)
+        pen = jnp.where(logits < 0.0, scaled * rp, scaled / rp)
         scaled = jnp.where(in_ring, pen, scaled)
     k = min(int(top_k), v)
     vals, ids = jax.lax.top_k(scaled, k)  # ties -> lower id (stable)
@@ -66,10 +66,35 @@ def topk_topp_probs(
     probs = e / jnp.sum(e)
     # inclusive cut: index j survives iff the mass BEFORE it is < top_p
     cum = jnp.cumsum(probs)
-    keep = (cum - probs) < jnp.float32(top_p)
+    keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
     probs = jnp.where(keep, probs, 0.0)
     probs = probs / jnp.sum(probs)
     return ids, probs
+
+
+def sample_token_dyn(
+    logits: jnp.ndarray,  # [V] f32
+    ring: jnp.ndarray,  # [R] int32
+    key: jax.Array,
+    *,
+    top_k: int,  # static
+    penalize: bool,  # static
+    temp,  # traced or python scalars
+    top_p,
+    repeat_penalty,
+) -> jnp.ndarray:
+    """Draw one token id (scalar int32) with the reference pipeline;
+    temp/top_p/penalty may be traced (per-slot values under vmap)."""
+    ids, probs = topk_topp_probs(
+        logits, ring,
+        top_k=top_k, top_p=top_p, temp=temp,
+        repeat_penalty=repeat_penalty, penalize=penalize,
+    )
+    u = jax.random.uniform(key, (), jnp.float32)
+    cum = jnp.cumsum(probs)
+    idx = jnp.sum((u * cum[-1] >= cum).astype(jnp.int32))
+    idx = jnp.minimum(idx, probs.shape[0] - 1)
+    return ids[idx].astype(jnp.int32)
 
 
 def sample_token(
@@ -79,17 +104,11 @@ def sample_token(
     scfg: SamplingConfig,
 ) -> jnp.ndarray:
     """Draw one token id (scalar int32) with the reference pipeline."""
-    ids, probs = topk_topp_probs(
-        logits, ring,
-        top_k=scfg.top_k, top_p=scfg.top_p, temp=scfg.temp,
-        repeat_penalty=scfg.repeat_penalty,
-        penalize=scfg.repeat_last_n > 0,
+    return sample_token_dyn(
+        logits, ring, key,
+        top_k=scfg.top_k, penalize=scfg.repeat_last_n > 0,
+        temp=scfg.temp, top_p=scfg.top_p, repeat_penalty=scfg.repeat_penalty,
     )
-    u = jax.random.uniform(key, (), jnp.float32)
-    cum = jnp.cumsum(probs)
-    idx = jnp.sum((u * cum[-1] >= cum).astype(jnp.int32))
-    idx = jnp.minimum(idx, probs.shape[0] - 1)
-    return ids[idx].astype(jnp.int32)
 
 
 def init_ring(prompt_ids, repeat_last_n: int) -> tuple[jnp.ndarray, jnp.ndarray]:

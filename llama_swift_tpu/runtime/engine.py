@@ -50,6 +50,46 @@ def batched_decode(params, tokens, n_pasts, cache, cfg: ModelConfig):
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "top_k", "penalize"),
+    donate_argnames=("cache", "rings"),
+)
+def batched_decode_sampled(
+    params, tokens, n_pasts, active, cache, rings, ring_pos, key,
+    temps, top_ps, penalties, cfg: ModelConfig, top_k: int, penalize: bool,
+):
+    """One decode step for every slot WITH fused on-device sampling: the
+    only host traffic per engine step is B sampled token ids (the host-
+    sampling path fetches B × n_vocab logits — ~1 MB/step at B=8 through
+    the tunnel — and runs B float64 samplers per token).
+
+    rings [B, R] per-slot last-n buffers (oldest at ring_pos), temps/
+    top_ps/penalties [B] f32 per-slot sampling params (top_k and the
+    penalize flag are static — they change compiled shapes).  Inactive
+    slots' draws are discarded and their rings left untouched.
+    Returns (tokens [B], cache, rings, ring_pos, key)."""
+    from .device_sampler import sample_token_dyn
+
+    logits, cache = model_lib.forward_batched(params, tokens, n_pasts, cache, cfg)
+    B = tokens.shape[0]
+    key, sub = jax.random.split(key)
+    keys = jax.random.split(sub, B)
+    toks = jax.vmap(
+        lambda lg, ring, k, t, p, rp: sample_token_dyn(
+            lg, ring, k, top_k=top_k, penalize=penalize,
+            temp=t, top_p=p, repeat_penalty=rp,
+        )
+    )(logits, rings, keys, temps, top_ps, penalties)
+    r = rings.shape[1]
+    pushed = jax.vmap(
+        lambda ring, pos, t: jax.lax.dynamic_update_index_in_dim(ring, t, pos, 0)
+    )(rings, ring_pos, toks)
+    rings = jnp.where(active[:, None], pushed, rings)
+    ring_pos = jnp.where(active, (ring_pos + 1) % r, ring_pos)
+    return toks, cache, rings, ring_pos, key
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
 )
 def slot_prefill_chunk(params, tokens, n_past, slot, cache, cfg: ModelConfig):
@@ -89,6 +129,9 @@ class _Slot:
     prefill_ids: list = dataclasses.field(default_factory=list)
     prefill_pos: int = 0
     sampling: Optional[SamplingConfig] = None
+    #: host-side ring advanced since the device ring copy (activation or a
+    #: host-sampled step) — the device step re-syncs before sampling
+    ring_dirty: bool = True
 
     @property
     def prefilling(self) -> bool:
@@ -137,6 +180,9 @@ class Engine:
         max_slots: int = 8,
         prefill_bucket: int = 64,
         cache_dtype=jnp.float32,
+        device_sampling: bool = True,
+        ring_size: int = 64,
+        seed: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -145,11 +191,27 @@ class Engine:
         self.prefill_bucket = prefill_bucket
         self.cache = model_lib.init_cache_batched(cfg, max_slots, dtype=cache_dtype)
         self.slots = [_Slot() for _ in range(max_slots)]
+        #: fused on-device sampling (batched_decode_sampled) when every
+        #: active slot shares the engine ring size/top_k and asks for no
+        #: fixed seed; otherwise the step transparently falls back to the
+        #: host sampler (per-request seeds / odd configs keep working)
+        self.device_sampling = device_sampling
+        self.ring_size = max(1, ring_size)
+        self.rings = jnp.zeros((max_slots, self.ring_size), jnp.int32)
+        self.ring_pos = jnp.zeros((max_slots,), jnp.int32)
+        if seed is None:
+            import secrets
+
+            seed = secrets.randbits(31)
+        self.key = jax.random.key(int(seed))
         self._pending: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.stats = {"decode_steps": 0, "tokens_generated": 0, "admitted": 0}
+        self.stats = {
+            "decode_steps": 0, "device_sampled_steps": 0,
+            "tokens_generated": 0, "admitted": 0,
+        }
         #: set to the fatal exception when a step crashed (engine is dead:
         #: the donated cache may be invalid; submits are rejected)
         self.dead: Optional[BaseException] = None
@@ -225,6 +287,7 @@ class Engine:
                 return  # more chunks to go; decode continues meanwhile
             # prompt fully prefilled: sample the first token, go active
             first = slot.sampler.sample(np.asarray(logits[clen - 1]))
+            slot.ring_dirty = True
             n_predict = min(slot.sampling.n_predict, self.cfg.n_ctx - length)
             slot.active = True
             slot.n_past = length
@@ -254,6 +317,24 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def _device_scfg(self, active) -> Optional[SamplingConfig]:
+        """The shared SamplingConfig if every active slot can run the fused
+        on-device sampler this step, else None (host fallback)."""
+        if not self.device_sampling:
+            return None
+        s0 = self.slots[active[0]].sampling
+        for i in active:
+            s = self.slots[i].sampling
+            if s.seed is not None:
+                return None  # per-request determinism -> host RNG stream
+            if max(1, s.repeat_last_n) != self.ring_size:
+                return None
+            if s.top_k != s0.top_k or (s.repeat_last_n > 0) != (
+                s0.repeat_last_n > 0
+            ):
+                return None
+        return s0
+
     def step(self) -> int:
         """Admit pending requests, advance at most one prefill chunk, run
         one batched decode step.  Returns number of active slots stepped."""
@@ -267,6 +348,53 @@ class Engine:
         for i in active:
             tokens[i] = self.slots[i].last_token
             n_pasts[i] = self.slots[i].n_past
+
+        s0 = self._device_scfg(active)
+        if s0 is not None:
+            # fused decode+sample: the only host traffic is B token ids
+            for i in active:
+                slot = self.slots[i]
+                if slot.ring_dirty:
+                    buf = [0] * self.ring_size + list(slot.sampler.ring)
+                    self.rings = self.rings.at[i].set(
+                        jnp.asarray(buf[-self.ring_size :], jnp.int32)
+                    )
+                    self.ring_pos = self.ring_pos.at[i].set(0)
+                    slot.ring_dirty = False
+            temps = np.ones(self.max_slots, np.float32)
+            top_ps = np.ones(self.max_slots, np.float32)
+            pens = np.ones(self.max_slots, np.float32)
+            mask = np.zeros(self.max_slots, bool)
+            for i in active:
+                s = self.slots[i].sampling
+                temps[i], top_ps[i], pens[i] = s.temp, s.top_p, s.repeat_penalty
+                mask[i] = True
+            toks, self.cache, self.rings, self.ring_pos, self.key = (
+                batched_decode_sampled(
+                    self.params, jnp.asarray(tokens), jnp.asarray(n_pasts),
+                    jnp.asarray(mask), self.cache, self.rings, self.ring_pos,
+                    self.key, jnp.asarray(temps), jnp.asarray(top_ps),
+                    jnp.asarray(pens), self.cfg,
+                    min(int(s0.top_k), self.cfg.n_vocab),
+                    s0.repeat_last_n > 0,
+                )
+            )
+            out = np.asarray(toks)
+            self.stats["decode_steps"] += 1
+            self.stats["device_sampled_steps"] += 1
+            for i in active:
+                slot = self.slots[i]
+                slot.n_past += 1
+                token = int(out[i])
+                # mirror into the host ring so a later host-fallback step
+                # (or re-sync) sees the full window; NOT dirty — the device
+                # ring already advanced identically
+                slot.sampler.ring.append(token)
+                slot.generated.append(token)
+                slot.last_token = token
+                self._emit_or_retire(slot, token)
+            return len(active)
+
         logits, self.cache = batched_decode(
             self.params, jnp.asarray(tokens), jnp.asarray(n_pasts),
             self.cache, self.cfg,
@@ -277,6 +405,7 @@ class Engine:
             slot = self.slots[i]
             slot.n_past += 1
             token = slot.sampler.sample(logits[i])
+            slot.ring_dirty = True
             slot.generated.append(token)
             slot.last_token = token
             self._emit_or_retire(slot, token)

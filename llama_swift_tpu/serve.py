@@ -90,7 +90,11 @@ def main(argv=None) -> int:
     cfg = mf.config
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, fuse_layer_matmuls=False, use_flash_decode=False)
+    # fused wqkv/w13 (shard-interleaved) + per-shard flash decode: the TP
+    # path runs the fast kernel stack (r4 VERDICT #5 — it used to force
+    # fuse_layer_matmuls=False, use_flash_decode=False onto the slowest
+    # attention and 3x the kernel launches)
+    cfg = dataclasses.replace(cfg, fuse_layer_matmuls=True)
     vocab = Vocab(mf.vocab)
     if cfg.n_head % tp:
         print(f"n_head {cfg.n_head} not divisible by tp={tp}")
@@ -98,7 +102,11 @@ def main(argv=None) -> int:
     params = model_lib.params_from_tensors(
         mf.tensors, cfg,
         shard_pad=128 * tp if tp > 1 else 1,
-        q4_layout="v" if tp > 1 else None,
+        # "v" explicitly: the TP local forward runs the per-matmul V-layout
+        # kernels per shard (the whole-stack W megakernel cannot span the
+        # all-gather boundaries between attention/wo and gate/w2)
+        q4_layout="v",
+        fuse_shards=tp,
     )
     params = tp_lib.shard_params_tp(params, mesh)
     cache = tp_lib.shard_cache_tp(model_lib.init_cache(cfg), mesh)

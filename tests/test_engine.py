@@ -143,12 +143,38 @@ def test_engine_single_stream_matches_runner_tokens(setup):
 
     from llama_swift_tpu.config import RunnerConfig
 
+    # seeded requests use the host numpy RNG stream on both sides (the
+    # engine falls back to host sampling for per-request seeds; pin the
+    # runner off its device-sampling default to match)
     r = _FakeRunner("unused", n_ctx=cfg.n_ctx, prefill_bucket=8)
     events = r.run_events(
-        "the rain", RunnerConfig(num_tokens=8, sampling=SamplingConfig(seed=7))
+        "the rain",
+        RunnerConfig(
+            num_tokens=8, sampling=SamplingConfig(seed=7),
+            device_sampling=False,
+        ),
     )
     toks_runner = [e.token for e in events if e.kind == EventKind.OUTPUT_TOKEN]
     assert toks_engine == toks_runner
+
+
+def test_engine_device_sampling_path(setup):
+    """Unseeded requests take the fused decode+sample path (the serving
+    default): streams complete with full budgets and the device-step
+    counter proves the fast branch actually ran."""
+    cfg, params, vocab = setup
+    eng = Engine(params, cfg, vocab, max_slots=2, prefill_bucket=8)
+    h1 = eng.submit("the rain", SamplingConfig(n_predict=6))
+    h2 = eng.submit("he said", SamplingConfig(n_predict=6))
+    with eng:
+        o1, o2 = list(h1), list(h2)
+    for p, out in (("the rain", o1), ("he said", o2)):
+        ids = vocab.tokenize(p, bos=True)
+        assert len(out) == len(ids) + 6
+        echoed = "".join(out[: len(ids)])
+        assert echoed == "".join(vocab.piece_str(t) for t in ids)
+    assert eng.stats["device_sampled_steps"] > 0
+    assert eng.stats["device_sampled_steps"] == eng.stats["decode_steps"]
 
 
 def test_engine_concurrent_streams(setup):

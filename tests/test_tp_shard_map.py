@@ -119,6 +119,33 @@ def test_tp_q4_decode_pallas_interpret_matches_single(mesh, cfg, tensors):
     np.testing.assert_allclose(out[0], base, rtol=2e-4, atol=2e-4)
 
 
+def test_tp_fused_flash_matches_single(mesh, cfg, tensors):
+    """The serving branch (serve.py): shard-interleaved fused wqkv/w13 +
+    per-shard flash decode, kernel dispatch forced through interpret —
+    must match the single-device unfused forward."""
+    cfg2 = dataclasses.replace(
+        cfg, fuse_layer_matmuls=True, use_flash_decode=True
+    )
+    qt = {
+        k: (Q4_0Tensor.quantize(v) if v.ndim == 2 else v)
+        for k, v in tensors.items()
+    }
+    params = model_lib.params_from_tensors(
+        qt, cfg, param_dtype=jnp.float32, shard_pad=128 * TP, q4_layout="v"
+    )
+    tokens = [2, 9, 50]
+    base = _single(params, cfg, tokens, decode_token=5)
+    qmm.FORCE_PALLAS_INTERPRET = True
+    try:
+        out = _tp(
+            qt, cfg2, mesh, tokens, decode_token=5,
+            q4_layout="v", fuse_shards=TP,
+        )
+    finally:
+        qmm.FORCE_PALLAS_INTERPRET = False
+    np.testing.assert_allclose(out[0], base, rtol=2e-4, atol=2e-4)
+
+
 def test_tp_param_shard_shapes(mesh, cfg, tensors):
     qt = {
         k: (Q4_0Tensor.quantize(v) if v.ndim == 2 else v)
