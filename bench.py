@@ -15,8 +15,14 @@ AND repeated last so any line-picking parser lands on it:
 (tokens/s at full HBM bandwidth streaming the packed Q4_0 weight bytes once
 per token — the roofline the BASELINE.md north star is phrased against;
 >=0.90 is the target).  The reference publishes no numbers (BASELINE.md), so
-the roofline is the honest denominator.  For TTFT, vs_baseline is the
-prefill-FLOP-bound time over measured time (MXU roofline).
+the roofline is the honest denominator.  NOTE the decode kernel is VPU-
+compute-bound, not byte-bound: the exact int4 dot costs ~3.2 VPU ops/weight
+vs the ~2.9 the 819 GB/s stream rate allows, so the achievable ceiling is
+~0.92 of the byte roofline (r5 decode profile; see PARITY.md).
+
+For TTFT, vs_baseline is the prefill MXU-FLOP-bound time over measured
+time (2·n_params·prompt_len / 197 TFLOPs bf16 — the r4 bench divided by
+the WEIGHT-STREAM time here, a mislabeled ~8x-too-strict denominator).
 
 Weights are synthetic (random nibbles/scales generated on device — numerics
 don't matter for bandwidth measurements; correctness is covered by tests/).
@@ -45,6 +51,17 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
+V5E_BF16_TFLOPS = 197.0  # v5e MXU peak, bf16
+
+
+def model_param_count(cfg) -> int:
+    """Unpadded 2-D weight element count (the prefill FLOP basis)."""
+    from llama_swift_tpu.formats.ggml import expected_tensor_shapes
+
+    return sum(
+        s[0] * s[1] for s in expected_tensor_shapes(cfg).values()
+        if len(s) == 2
+    )
 
 
 def synthetic_weight_bytes(cfg, layout="v"):
@@ -451,13 +468,74 @@ def main():
 
     # --- TTFT p50 (BASELINE.json: "decode tokens/s/chip + p50 TTFT") -------
     def run_ttft():
+        n_params = model_param_count(cfg)
         for plen in sorted({min(64, cfg.n_ctx), min(512, cfg.n_ctx)}):
             t = ttft_bench(cfg, params, plen, args)
-            # weight-stream-bound prefill time is the SOL reference
+            # prefill is compute-bound: the MXU-FLOP bound is the honest
+            # denominator (2 flops per weight per prompt token at bf16 peak)
+            bound = 2.0 * n_params * plen / (V5E_BF16_TFLOPS * 1e12)
             emit(f"ttft_p50_s_{args.size}_q4_0_prompt{plen}", t, "s",
-                 (weight_bytes / (args.hbm_gbps * 1e9)) / t)
+                 bound / t)
 
     stage("ttft", run_ttft)
+
+    # --- long context (SURVEY §5.7): decode at n_ctx=2048 — O(n_past)
+    # attention means low-n_past decode must run at the 512-ctx rate -------
+    def run_longctx():
+        if cfg.n_ctx != 512 or args.size not in ("7b", "13b"):
+            return
+        cfg_l = make_cfg(args.size, args, n_ctx=2048)
+        params_l, wb_l = build_params(cfg_l, args)
+        try:
+            tps = decode_bench(cfg_l, params_l, args.steps)
+            emit(f"decode_tok_per_s_{args.size}_q4_0_ctx2048", tps, "tok/s",
+                 tps / (args.hbm_gbps * 1e9 / wb_l))
+        finally:
+            del params_l
+            import gc as _gc
+
+            _gc.collect()
+
+    stage("longctx", run_longctx)
+
+    # --- engine serving aggregate (continuous batching + fused on-device
+    # sampling + PAGED KV): the product serving loop under load ------------
+    def run_engine():
+        import gc as _gc
+
+        import jax.numpy as jnp_
+
+        from llama_swift_tpu.config import SamplingConfig
+        from llama_swift_tpu.runtime.engine import Engine
+        from llama_swift_tpu.tokenizer import Vocab
+
+        pieces = [b"<unk>", b"<s>", b"</s>"]
+        pieces += [bytes([b]) for b in range(32, 127)]
+        pieces += [f"<x{i}>".encode() for i in range(cfg.n_vocab - len(pieces))]
+        vocab = Vocab(pieces)
+        slots = 8
+        # paged pool sized for the bench load (tiny prompts + 48 tokens)
+        eng = Engine(
+            params, cfg, vocab, max_slots=slots, prefill_bucket=64,
+            cache_dtype=jnp.bfloat16, paged_pages=slots * 2 + 1, page=128,
+        )
+        prompts = [f"the rain in spain {i} " for i in range(slots)]
+        scfg = SamplingConfig(n_predict=48)
+        # warm (compile admission + decode programs)
+        with eng:
+            list(eng.submit(prompts[0], SamplingConfig(n_predict=4)))
+            t0 = time.perf_counter()
+            handles = [eng.submit(p, scfg) for p in prompts]
+            for h in handles:
+                list(h)
+            dt = time.perf_counter() - t0
+        toks = slots * 48
+        emit(f"engine_tok_per_s_{args.size}_q4_0_slots{slots}_paged",
+             toks / dt, "tok/s", (toks / dt) / (slots * sol))
+        del eng
+        _gc.collect()
+
+    stage("engine", run_engine)
 
     # --- served throughput (runner path: chunked device-sampled decode) ----
     def run_served():
@@ -484,37 +562,64 @@ def main():
 
     gc.collect()
     b_size = "13b" if args.size in ("7b", "13b") else args.size
-    # batched decode serves through the stacked MXU phase kernel (T layout,
-    # 1024-aligned in-dims): the batch-1 V/W matvec layouts have no
-    # multi-row kernel and the tighter padding is what lets 13B fit
+    # batched matmuls serve through the stacked T-layout kernels (the V
+    # layout's 4096-aligned in-dims balloon 13B's 5120-wide mats by ~60% and
+    # don't fit with the batch cache); attention is the per-slot-O(n_past)
+    # batched flash kernel either way.  batch 16/32 ride the int8 KV cache
+    # (in-kernel scales) to fit 16 GB.
     args13 = argparse.Namespace(**{**vars(args), "weights": "q4-packed-t"})
-    for B, b_ctx in ((8, 512), (16, 512), (32, 256)):
+    for B, b_ctx, kvd in (
+        (8, 512, args.kv_dtype), (16, 512, "int8"), (32, 256, "int8"),
+    ):
         b_ctx = min(b_ctx, args.n_ctx)
-        cfg13 = make_cfg(b_size, args, n_ctx=b_ctx)
+        args_b = argparse.Namespace(**{**vars(args13), "kv_dtype": kvd})
+        cfg13 = make_cfg(b_size, args_b, n_ctx=b_ctx)
         wb13 = synthetic_weight_bytes(cfg13, "t")
-        kv_itemsize = {"float32": 4, "bfloat16": 2, "int8": 1.5}[args.kv_dtype]
+        kv_itemsize = {"float32": 4, "bfloat16": 2, "int8": 1.5}[kvd]
         kv_bytes = (cfg13.n_layer * 2 * B * cfg13.n_head * b_ctx
                     * cfg13.head_dim * kv_itemsize)
         if wb13 + kv_bytes > args.hbm_budget_gb * 1e9:
-            print(f"bench: skip 13B batch{B} ctx{b_ctx}: est "
+            print(f"bench: skip 13B batch{B} ctx{b_ctx} {kvd}-kv: est "
                   f"{(wb13 + kv_bytes) / 1e9:.1f} GB > "
                   f"{args.hbm_budget_gb} GB budget", file=sys.stderr, flush=True)
             continue
 
-        def run_13b(B=B, b_ctx=b_ctx, cfg13=cfg13, wb13=wb13):
-            params13, _ = build_params(cfg13, args13)
+        def run_13b(B=B, b_ctx=b_ctx, cfg13=cfg13, wb13=wb13, kvd=kvd,
+                    args_b=args_b):
+            params13, _ = build_params(cfg13, args_b)
             try:
                 agg = batched_decode_bench(
                     cfg13, params13, B, max(8, args.steps // 2)
                 )
                 sol13 = args.hbm_gbps * 1e9 / wb13
                 emit(f"decode_tok_per_s_{b_size}_q4_0_q4-packed-t"
-                     f"_batch{B}_ctx{b_ctx}", agg, "tok/s", agg / (B * sol13))
+                     f"_batch{B}_ctx{b_ctx}_{kvd}kv", agg, "tok/s",
+                     agg / (B * sol13))
             finally:
                 del params13
                 gc.collect()
 
         stage(f"13b_batch{B}", run_13b)
+
+    # --- 30B/65B shape+fit dryruns (no big-model chips here): subprocess
+    # on virtual CPU devices — abstract lowering + per-chip HBM arithmetic
+    def run_bigdry():
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "-m", "experiments.big_model_dryrun"],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PALLAS_AXON_POOL_IPS": ""},
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-300:])
+
+    stage("big_model_dryrun", run_bigdry)
 
     # repeat the headline LAST for last-line parsers
     print(json.dumps(headline), flush=True)

@@ -461,6 +461,41 @@ def init_cache_batched(cfg: ModelConfig, batch: int, dtype=None) -> Cache:
     return cache
 
 
+def init_cache_paged(
+    cfg: ModelConfig, n_pages: int, max_slots: int, dtype=None,
+    page: int = 128,
+) -> Cache:
+    """PAGED batched KV cache (BASELINE north star): a pool of
+    [n_pages, L, H, page, Dh] position-range pages + a [B, MP] page table.
+    A slot's HBM footprint grows with its actual sequence length instead of
+    a dense per-slot n_ctx preallocation (the reference preallocates the
+    whole cache up front, ``LlamaPredictOperation.mm:289-304``).
+
+    The LAST page is a scratch page: unallocated table entries point at it,
+    so writes from inactive slots (the engine steps all B lanes) land there
+    harmlessly instead of corrupting a live page.
+    """
+    if dtype is None:
+        dtype = (
+            jnp.int8 if cfg.kv_cache_dtype == "int8"
+            else jnp.dtype(cfg.kv_cache_dtype)
+        )
+    page = min(page, cfg.n_ctx)
+    mp = -(-cfg.n_ctx // page)
+    shape = (n_pages, cfg.n_layer, cfg.n_head, page, cfg.head_dim)
+    cache = {
+        "k_pool": jnp.zeros(shape, dtype=dtype),
+        "v_pool": jnp.zeros(shape, dtype=dtype),
+        # all entries -> scratch page until the engine allocates
+        "page_table": jnp.full((max_slots, mp), n_pages - 1, jnp.int32),
+    }
+    if dtype == jnp.int8:
+        sshape = shape[:-1] + (1,)
+        cache["k_scale_pool"] = jnp.zeros(sshape, dtype=jnp.float32)
+        cache["v_scale_pool"] = jnp.zeros(sshape, dtype=jnp.float32)
+    return cache
+
+
 def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cache:
     """Dense per-sequence KV cache [L, H, n_ctx, Dh], head-major so each
     head's history is contiguous (k stored post-rope).
@@ -624,6 +659,51 @@ def forward(
             return plane(c[name]).astype(jnp.float32) * plane(c[name + "_scale"])
         return plane(c[name])
 
+    def cache_write_paged(c: dict, name: str, val, il):
+        """Slot-path PAGED write: val [N, H, Dh] lands at positions
+        n_past..n_past+N-1 of slot ``slot`` via its page-table row — one
+        batched scatter into the page pool (init_cache_paged)."""
+        pool = c[name + "_pool"]
+        page = pool.shape[3]
+        positions = n_past + jnp.arange(N, dtype=jnp.int32)
+        pids = jnp.clip(
+            c["page_table"][slot, positions // page], 0, pool.shape[0] - 1
+        )
+        offs = positions % page
+        c = dict(c)
+        if name + "_scale_pool" in c:
+            amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [N, H, 1]
+            scale = amax / 127.0
+            inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+            qv = jnp.clip(jnp.round(val * inv), -127, 127)
+            c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
+                qv.astype(pool.dtype)
+            )
+            c[name + "_scale_pool"] = c[name + "_scale_pool"].at[
+                pids, il, :, offs, :
+            ].set(scale.astype(jnp.float32))
+            return c
+        c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
+            val.astype(pool.dtype)
+        )
+        return c
+
+    def cache_read_paged(c: dict, name: str, il):
+        """Gather slot ``slot``'s pages for layer il into a dense
+        [H, n_ctx, Dh] view (prefill XLA attention; decode uses the paged
+        flash kernel in forward_batched)."""
+        pool = c[name + "_pool"]
+        tab = jnp.clip(c["page_table"][slot], 0, pool.shape[0] - 1)  # [MP]
+        planes = pool[tab, il]  # [MP, H, page, Dh]
+        dense = planes.transpose(1, 0, 2, 3).reshape(
+            cfg.n_head, -1, cfg.head_dim
+        )[:, : cfg.n_ctx]
+        if name + "_scale_pool" in c:
+            sc = c[name + "_scale_pool"][tab, il].transpose(1, 0, 2, 3)
+            sc = sc.reshape(cfg.n_head, -1, 1)[:, : cfg.n_ctx]
+            return dense.astype(jnp.float32) * sc
+        return dense
+
     def layer_fn(x, layer, cl, il=None):
         """One transformer layer.  ``il is None`` (scan path): ``cl`` is this
         layer's cache planes ([H, n_ctx, Dh] (+ scales for int8)).  Otherwise
@@ -648,6 +728,9 @@ def forward(
         if il is None:
             cl = cache_write(cl, "k", k)
             cl = cache_write(cl, "v", v)
+        elif "page_table" in cl:
+            cl = cache_write_paged(cl, "k", k, il)
+            cl = cache_write_paged(cl, "v", v, il)
         else:
             cl = cache_write_full(cl, "k", k, il)
             cl = cache_write_full(cl, "v", v, il)
@@ -685,6 +768,11 @@ def forward(
             ctx = _attention(
                 q, cache_read(cl, "k"), cache_read(cl, "v"), n_past, cfg.n_ctx,
                 compute_dtype,
+            )
+        elif "page_table" in cl:
+            ctx = _attention(
+                q, cache_read_paged(cl, "k", il), cache_read_paged(cl, "v", il),
+                n_past, cfg.n_ctx, compute_dtype,
             )
         else:
             ctx = _attention(
@@ -957,6 +1045,34 @@ def forward_batched(
             return c[name][il].astype(jnp.float32) * c[name + "_scale"][il]
         return c[name][il]
 
+    def cache_write_paged_b(c, name, val, il):
+        """PAGED write: slot b's new token lands at position n_pasts[b] via
+        its page-table row — one batched scatter into the page pool."""
+        pool = c[name + "_pool"]
+        page = pool.shape[3]
+        pids = jnp.clip(
+            c["page_table"][jnp.arange(B), n_pasts // page],
+            0, pool.shape[0] - 1,
+        )
+        offs = n_pasts % page
+        c = dict(c)
+        if name + "_scale_pool" in c:
+            amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [B, H, 1]
+            scale = amax / 127.0
+            inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+            qv = jnp.clip(jnp.round(val * inv), -127, 127)
+            c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
+                qv.astype(pool.dtype)
+            )
+            c[name + "_scale_pool"] = c[name + "_scale_pool"].at[
+                pids, il, :, offs, :
+            ].set(scale.astype(jnp.float32))
+            return c
+        c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
+            val.astype(pool.dtype)
+        )
+        return c
+
     def layer_fn(x, layer, cl, il=None):
         """x [B, D].  ``il is None`` (scan path): ``cl`` is this layer's
         cache planes [B, H, n_ctx, Dh].  Otherwise (unrolled): ``cl`` is the
@@ -981,6 +1097,27 @@ def forward_batched(
             cl = cache_write_b(cl, "v", v)
             keys, values = cache_read_b(cl, "k"), cache_read_b(cl, "v")
             ctx = _attention_batched(q, keys, values, n_pasts, compute_dtype)
+        elif "page_table" in cl:
+            # PAGED decode: page-table-indirected flash kernel, per-slot
+            # O(n_past) KV traffic over a pool sized by actual usage
+            from ..ops.attention import (
+                flash_decode_attention_paged,
+                flash_decode_attention_paged_int8,
+            )
+
+            cl = cache_write_paged_b(cl, "k", k, il)
+            cl = cache_write_paged_b(cl, "v", v, il)
+            if "k_scale_pool" in cl:
+                ctx = flash_decode_attention_paged_int8(
+                    q, cl["k_pool"], cl["v_pool"],
+                    cl["k_scale_pool"], cl["v_scale_pool"],
+                    cl["page_table"], il, n_pasts,
+                ).astype(compute_dtype)
+            else:
+                ctx = flash_decode_attention_paged(
+                    q, cl["k_pool"], cl["v_pool"], cl["page_table"],
+                    il, n_pasts,
+                ).astype(compute_dtype)
         elif cfg.use_flash_decode:
             # batched flash decode reads the layer-major cache in place with
             # per-slot O(n_past) KV traffic (r4's dense path re-read the
@@ -1047,7 +1184,10 @@ def forward_batched(
                     layer[k] = jax.tree_util.tree_map(lambda a: a[il], v)
             return layer
 
-        if cfg.scan_layers:
+        if cfg.scan_layers and "page_table" not in cache:
+            # (paged caches always take the unrolled path: a page POOL has
+            # no per-layer xs slicing — every layer scatters into the same
+            # pool in place)
             xs_small = {k: v for k, v in stacked.items() if k not in q4_keys}
             il_seq = jnp.arange(cfg.n_layer, dtype=jnp.int32)
 

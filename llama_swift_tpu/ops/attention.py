@@ -695,6 +695,279 @@ def flash_decode_attention_batched_int8(
     )(scalars, q, keys, values, ks, vs)
 
 
+# ---------------------------------------------------------------------------
+# PAGED batched flash decode (BASELINE north star: paged fp16/int8 KV):
+# pages are position-range chunks of ONE slot spanning ALL layers —
+# pool [P, L, H, page, Dh], page table [B, MP] int32.  A slot's HBM
+# footprint grows with its actual length instead of a dense n_ctx
+# preallocation (the reference preallocates the whole 512-slot cache up
+# front, LlamaPredictOperation.mm:289-304; so did our dense engine cache —
+# the direct reason 13B batch 16/32 didn't fit in 16 GB, BENCH_r04).
+# ---------------------------------------------------------------------------
+
+
+def _flash_paged_kernel(
+    s_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref
+):
+    """One (slot, head-block, page) step.  s_ref layout:
+    [layer, n_past_0..n_past_{B-1}, table_00..table_{B-1,MP-1}] — the page
+    id is resolved in the INDEX MAP (scalar prefetch), so only live pages
+    are ever DMA'd; the kernel body is the batched online softmax with the
+    per-slot j <= n_past mask."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    hb, chunk, dh = k_ref.shape[2], k_ref.shape[3], q_ref.shape[2]
+    n_past = s_ref[1 + b]
+    live = n_past // chunk
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= live)
+    def _():
+        scale = 1.0 / np.sqrt(float(dh))
+        qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)
+        s = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    qb[hh : hh + 1],
+                    k_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        ) * scale
+        j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
+        s = jnp.where(j <= n_past, s, NEG_INF)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    p[hh : hh + 1],
+                    v_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[b, pl.dslice(i * hb, hb), :] = (
+            acc_ref[:] / l_ref[:, 0:1]
+        ).astype(out_ref.dtype)
+
+
+def _flash_paged_int8_kernel(
+    s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref
+):
+    """int8 page-pool variant: per-(head, position) scales live in their own
+    pools and are applied in-kernel (the cache streams at 1 B/elem)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    hb, chunk, dh = k_ref.shape[2], k_ref.shape[3], q_ref.shape[2]
+    n_past = s_ref[1 + b]
+    live = n_past // chunk
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c <= live)
+    def _():
+        scale = 1.0 / np.sqrt(float(dh))
+        qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)
+        s = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    qb[hh : hh + 1],
+                    k_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                * ks_ref[0, 0, hh : hh + 1, :]
+                for hh in range(hb)
+            ],
+            axis=0,
+        ) * scale
+        j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
+        s = jnp.where(j <= n_past, s, NEG_INF)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pe = jnp.exp(s - m_new)
+        p = pe * vs_ref[0, 0]
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pe, axis=1, keepdims=True)
+        pv = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    p[hh : hh + 1],
+                    v_ref[0, 0, hh].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for hh in range(hb)
+            ],
+            axis=0,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[b, pl.dslice(i * hb, hb), :] = (
+            acc_ref[:] / l_ref[:, 0:1]
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h_block", "interpret"))
+def flash_decode_attention_paged(
+    q: jnp.ndarray,  # [B, H, Dh] one post-rope query per slot
+    k_pool: jnp.ndarray,  # [P, L, H, page, Dh] page pool
+    v_pool: jnp.ndarray,  # [P, L, H, page, Dh]
+    page_table: jnp.ndarray,  # [B, MP] int32 page ids (chunk c of slot b)
+    layer_idx,
+    n_pasts: jnp.ndarray,  # [B] i32: slot b attends j <= n_pasts[b]
+    *,
+    h_block: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Paged B-slot flash decode over one layer: the page TABLE resolves
+    each (slot, chunk) to a pool page inside the index map, per-slot
+    O(n_past) traffic; returns [B, H, Dh] f32.  Table entries beyond a
+    slot's live range may be garbage — the index map clamps the chunk to
+    the live page and ids to the pool."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    P, L, h, page, dh = k_pool.shape
+    B, MP = page_table.shape
+    if h_block is None:
+        h_block = _batched_h_block(h, page, dh, k_pool.dtype.itemsize)
+    scalars = jnp.concatenate(
+        [
+            jnp.asarray([layer_idx], jnp.int32),
+            n_pasts.astype(jnp.int32),
+            page_table.astype(jnp.int32).reshape(-1),
+        ]
+    )
+
+    def kv_map(b, i, c, s):
+        cc = jnp.minimum(c, s[1 + b] // page)
+        pid = jnp.clip(s[1 + B + b * MP + cc], 0, P - 1)
+        return (pid, s[0], i, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, h // h_block, MP),
+        in_specs=[
+            pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+            pl.BlockSpec((1, 1, h_block, page, dh), kv_map),
+            pl.BlockSpec((1, 1, h_block, page, dh), kv_map),
+        ],
+        out_specs=pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_paged_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, k_pool, v_pool)
+
+
+@functools.partial(jax.jit, static_argnames=("h_block", "interpret"))
+def flash_decode_attention_paged_int8(
+    q: jnp.ndarray,  # [B, H, Dh]
+    k_pool: jnp.ndarray,  # [P, L, H, page, Dh] int8
+    v_pool: jnp.ndarray,  # [P, L, H, page, Dh] int8
+    k_scale_pool: jnp.ndarray,  # [P, L, H, page, 1] f32
+    v_scale_pool: jnp.ndarray,  # [P, L, H, page, 1] f32
+    page_table: jnp.ndarray,  # [B, MP] int32
+    layer_idx,
+    n_pasts: jnp.ndarray,  # [B]
+    *,
+    h_block: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Paged flash decode over the int8 page pool; returns [B, H, Dh] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    P, L, h, page, dh = k_pool.shape
+    B, MP = page_table.shape
+    if h_block is None:
+        h_block = _batched_h_block(h, page, dh, 1)
+    scalars = jnp.concatenate(
+        [
+            jnp.asarray([layer_idx], jnp.int32),
+            n_pasts.astype(jnp.int32),
+            page_table.astype(jnp.int32).reshape(-1),
+        ]
+    )
+    ks = k_scale_pool.reshape(P, L, h, page)
+    vs = v_scale_pool.reshape(P, L, h, page)
+
+    def kv_map(b, i, c, s):
+        cc = jnp.minimum(c, s[1 + b] // page)
+        pid = jnp.clip(s[1 + B + b * MP + cc], 0, P - 1)
+        return (pid, s[0], i, 0, 0)
+
+    def sc_map(b, i, c, s):
+        cc = jnp.minimum(c, s[1 + b] // page)
+        pid = jnp.clip(s[1 + B + b * MP + cc], 0, P - 1)
+        return (pid, s[0], i, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, h // h_block, MP),
+        in_specs=[
+            pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+            pl.BlockSpec((1, 1, h_block, page, dh), kv_map),
+            pl.BlockSpec((1, 1, h_block, page, dh), kv_map),
+            pl.BlockSpec((1, 1, h_block, page), sc_map),
+            pl.BlockSpec((1, 1, h_block, page), sc_map),
+        ],
+        out_specs=pl.BlockSpec((B, h, dh), lambda b, i, c, s: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, 128), jnp.float32),
+            pltpu.VMEM((h_block, dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_paged_int8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, k_pool, v_pool, ks, vs)
+
+
 def reference_decode_attention(q, keys, values, n_past):
     """Unfused reference for tests: q [H, Dh], cache [H, n_ctx, Dh]."""
     h, n_ctx, dh = keys.shape

@@ -841,6 +841,13 @@ def _make_layers_kernel(L, H, ot13, kh4, kh4_2, n_chunks, ctx_chunk,
             knew_ref[il] = k
             vnew_ref[il] = v
 
+            lane_h = jax.lax.broadcasted_iota(
+                jnp.int32, (H, H * ctx_chunk), 1
+            ) // ctx_chunk
+            row_h = jax.lax.broadcasted_iota(
+                jnp.int32, (H, H * ctx_chunk), 0
+            )
+
             def att_body(c, att):
                 m, l, acc = att
                 a, b = kv_copy(il, c)
@@ -848,16 +855,24 @@ def _make_layers_kernel(L, H, ot13, kh4, kh4_2, n_chunks, ctx_chunk,
                 b.wait()
                 kcb = kvbuf[c, 0].astype(jnp.float32)  # [H, C, 128]
                 vcb = kvbuf[c, 1].astype(jnp.float32)
+                # ONE MXU dot for all heads (q [H,128] x K [H·C,128]ᵀ
+                # computes every head PAIR; the diagonal blocks are the real
+                # scores) instead of H serialized 1x128 dots — the unrolled
+                # form cost ~15 µs/layer of MXU-launch latency on the
+                # kernel's critical path (decode profile r5).  H× redundant
+                # MACs are free: the MXU is otherwise idle at batch 1.
                 # HIGHEST: Mosaic's default lowers f32 dots to single-pass
-                # bf16 on the MXU (r4 selfcheck catch)
+                # bf16 on the MXU (r4 selfcheck catch).
+                kflat = kcb.reshape(H * ctx_chunk, LANES)
+                big = jax.lax.dot_general(
+                    q, kflat,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [H, H·C]
                 s = jnp.concatenate(
                     [
-                        jax.lax.dot_general(
-                            q[hh : hh + 1, :], kcb[hh],
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )
+                        big[hh : hh + 1, hh * ctx_chunk : (hh + 1) * ctx_chunk]
                         for hh in range(H)
                     ],
                     axis=0,
@@ -870,18 +885,19 @@ def _make_layers_kernel(L, H, ot13, kh4, kh4_2, n_chunks, ctx_chunk,
                 alpha = jnp.exp(m - m_new)
                 p = jnp.exp(s - m_new)
                 l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-                pv = jnp.concatenate(
-                    [
-                        jax.lax.dot_general(
-                            p[hh : hh + 1], vcb[hh],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )
-                        for hh in range(H)
-                    ],
-                    axis=0,
+                # p·V likewise as one dot: P [H, H·C] carries p on the
+                # diagonal blocks and exact zeros elsewhere
+                pbig = jnp.where(
+                    lane_h == row_h,
+                    jnp.concatenate([p] * H, axis=1),
+                    0.0,
                 )
+                pv = jax.lax.dot_general(
+                    pbig, vcb.reshape(H * ctx_chunk, LANES),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [H, 128]
                 return m_new, l, acc * alpha + pv
 
             m0 = jnp.full((H, 1), NEG_INF, jnp.float32)

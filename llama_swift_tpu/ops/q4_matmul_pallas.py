@@ -597,3 +597,279 @@ def q4_0_matmul_pallas(
         precision=jax.lax.Precision.HIGHEST,
     )
     return y.reshape(*lead, out_dim).astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# multi-row (batched-decode) VPU kernel on the T layout
+# ---------------------------------------------------------------------------
+
+#: rows the T-layout multi-row VPU kernel accepts — same economics as the
+#: V-layout multi kernel (ops/q4_vpu_pallas.MAX_MULTI_ROWS): 2 shared
+#: dequant ops + B FMAs per packed word.  The T layout matters for batched
+#: 13B serving: its 1024-aligned in-dims fit 5120/13824-wide mats where the
+#: V layout's 4096 alignment balloons them ~60% past the HBM budget.
+MAX_MULTI_ROWS_T = 32
+
+_T_MASKS = [0xF << (4 * p) for p in range(7)]  # phase 7 uses a logical shift
+_T_XSCALE = [float(16.0 ** -p) for p in range(7)] + [1.0]
+
+
+def _vpu_core_multi_t(xl, xr_ref, aux_ref, scales, B: int):
+    """B-row exact int4-dot core on a T-layout tile.
+
+    xl: i32 [KH4, 128] (in-packed on sublanes, out rows on lanes);
+    xr: f32 [KH4, 8B] (column b·8+p = row b's phase-p activations ·16^-p,
+    sublane s = in elements [8s, 8s+8)); aux: f32 [NB, 2B] (columns 2b /
+    2b+1 = row b's block scales d_x / 8·Σ q); scales: f32 [NB, 128].
+    Returns y [B, 128] — LANE-major outputs, no per-tile transpose (the
+    V-layout core's [128, 1] column needed one per tile).
+    """
+    kh4 = xl.shape[0]
+    nb = kh4 // 4
+    nibs = [
+        (xl & _T_MASKS[p]).astype(jnp.float32) for p in range(7)
+    ] + [jax.lax.shift_right_logical(xl, 28).astype(jnp.float32)]
+    outs = []
+    for b in range(B):
+        acc = nibs[0] * xr_ref[:, b * 8 : b * 8 + 1]
+        for p in range(1, PHASES):
+            acc = acc + nibs[p] * xr_ref[:, b * 8 + p : b * 8 + p + 1]
+        a4 = acc.reshape(nb, 4, LANE_TILE)
+        accb = a4[:, 0] + a4[:, 1] + a4[:, 2] + a4[:, 3]  # [NB, 128]
+        dx = aux_ref[:, 2 * b : 2 * b + 1]  # [NB, 1]
+        corr = aux_ref[:, 2 * b + 1 : 2 * b + 2]
+        outs.append(
+            jnp.sum((accb - corr) * (scales * dx), axis=0, keepdims=True)
+        )
+    return jnp.concatenate(outs, axis=0)  # [B, 128]
+
+
+def _prep_inputs_multi_t(x2: jnp.ndarray, kh4: int, quantize_acts: bool):
+    """x2 f32 [B, in] → (xr [kh4, 8B], aux [nb, 2B]) for the T multi core."""
+    B = x2.shape[0]
+    in_dim = kh4 * PHASES
+    nb = in_dim // QK
+    if quantize_acts:
+        qx, dx = quantize_activations_q4_0_int(x2)  # [B, in], [B, nb]
+    else:
+        qx = x2.astype(jnp.float32)
+        dx = jnp.ones((B, nb), jnp.float32)
+    xsc = jnp.asarray(_T_XSCALE, jnp.float32)
+    xr = qx.reshape(B, kh4, PHASES).transpose(1, 0, 2).reshape(kh4, B * PHASES)
+    xr = xr * jnp.tile(xsc, B)[None, :]
+    corr = 8.0 * qx.reshape(B, nb, QK).sum(axis=2)  # [B, nb]
+    aux = jnp.stack([dx, corr], axis=2).transpose(1, 0, 2).reshape(nb, 2 * B)
+    return xr, aux
+
+
+def _make_multi_t_kernel(B: int, stacked: bool):
+    def core(xl, xr_ref, aux_ref, scales):
+        return _vpu_core_multi_t(xl, xr_ref, aux_ref, scales, B)
+
+    def loop(idx, steps, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref,
+             qbuf, sbuf, qsem, ssem):
+        def qdma(slot, j):
+            return pltpu.make_async_copy(
+                qs4_hbm.at[idx(j)], qbuf.at[slot], qsem.at[slot]
+            )
+
+        def sdma(slot, j):
+            return pltpu.make_async_copy(
+                sc_hbm.at[idx(j)], sbuf.at[slot], ssem.at[slot]
+            )
+
+        nbuf = qbuf.shape[0]
+        for j in range(nbuf - 1):
+
+            @pl.when(j < steps)
+            def _(j=j):
+                qdma(j % nbuf, j).start()
+                sdma(j % nbuf, j).start()
+
+        def body(j, _):
+            slot = j % nbuf
+            pre = j + nbuf - 1
+
+            @pl.when(pre < steps)
+            def _():
+                qdma(pre % nbuf, pre).start()
+                sdma(pre % nbuf, pre).start()
+
+            qdma(slot, j).wait()
+            sdma(slot, j).wait()
+            out_ref[j] = core(qbuf[slot], xr_ref, aux_ref, sbuf[slot])
+            return ()
+
+        jax.lax.fori_loop(0, steps, body, (), unroll=False)
+
+    if stacked:
+
+        def kernel(il_ref, xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref,
+                   qbuf, sbuf, qsem, ssem):
+            il = il_ref[0]
+            loop(lambda j: (il, j), qs4_hbm.shape[1], xr_ref, aux_ref,
+                 qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem)
+
+        return kernel
+
+    def kernel(xr_ref, aux_ref, qs4_hbm, sc_hbm, out_ref,
+               qbuf, sbuf, qsem, ssem):
+        loop(lambda j: (j,), qs4_hbm.shape[0], xr_ref, aux_ref,
+             qs4_hbm, sc_hbm, out_ref, qbuf, sbuf, qsem, ssem)
+
+    return kernel
+
+
+def _multi_t_grid_kernel(B: int, stacked: bool):
+    """Auto-pipelined grid variant for interpret mode (same core)."""
+    if stacked:
+
+        def kernel(il_ref, xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
+            del il_ref  # consumed by the BlockSpec index maps
+            out_ref[0] = _vpu_core_multi_t(
+                qs4_ref[0, 0], xr_ref, aux_ref, scales_ref[0, 0], B
+            )
+
+        return kernel
+
+    def kernel(xr_ref, aux_ref, qs4_ref, scales_ref, out_ref):
+        out_ref[0] = _vpu_core_multi_t(
+            qs4_ref[0], xr_ref, aux_ref, scales_ref[0], B
+        )
+
+    return kernel
+
+
+#: T multi-row DMA ring depth (same rationale as q4_vpu_pallas.NBUF)
+NBUF_T = 6
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_t_multi_call(xr, aux, qs4, scales_t, *, interpret=False):
+    ot, kh4, lt = qs4.shape
+    nb = scales_t.shape[1]
+    B = xr.shape[1] // PHASES
+    if interpret:
+        out = pl.pallas_call(
+            _multi_t_grid_kernel(B, stacked=False),
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((kh4, B * PHASES), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 2 * B), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kh4, lt), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nb, lt), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, B, lt), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ot, B, lt), jnp.float32),
+            interpret=True,
+        )(xr, aux, qs4, scales_t)
+        return out.transpose(1, 0, 2).reshape(B, ot * lt)
+    out = pl.pallas_call(
+        _make_multi_t_kernel(B, stacked=False),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ot, B, lt), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF_T, kh4, lt), jnp.int32),
+            pltpu.VMEM((NBUF_T, nb, lt), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF_T,)),
+            pltpu.SemaphoreType.DMA((NBUF_T,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * ot * lt * kh4 * PHASES,
+            bytes_accessed=ot * lt * (kh4 + nb) * 4,
+            transcendentals=0,
+        ),
+    )(xr, aux, qs4, scales_t)
+    return out.transpose(1, 0, 2).reshape(B, ot * lt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_0_t_multi_call_stacked(layer_idx, xr, aux, qs4, scales_t, *,
+                               interpret=False):
+    L, ot, kh4, lt = qs4.shape
+    nb = scales_t.shape[2]
+    B = xr.shape[1] // PHASES
+    if interpret:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ot,),
+            in_specs=[
+                pl.BlockSpec((kh4, B * PHASES), lambda j, il: (0, 0)),
+                pl.BlockSpec((nb, 2 * B), lambda j, il: (0, 0)),
+                pl.BlockSpec((1, 1, kh4, lt), lambda j, il: (il[0], j, 0, 0)),
+                pl.BlockSpec((1, 1, nb, lt), lambda j, il: (il[0], j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, lt), lambda j, il: (j, 0, 0)),
+        )
+        out = pl.pallas_call(
+            _multi_t_grid_kernel(B, stacked=True),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ot, B, lt), jnp.float32),
+            interpret=True,
+        )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4, scales_t)
+        return out.transpose(1, 0, 2).reshape(B, ot * lt)
+    out = pl.pallas_call(
+        _make_multi_t_kernel(B, stacked=True),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ot, B, lt), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF_T, kh4, lt), jnp.int32),
+            pltpu.VMEM((NBUF_T, nb, lt), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF_T,)),
+            pltpu.SemaphoreType.DMA((NBUF_T,)),
+        ],
+    )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4, scales_t)
+    return out.transpose(1, 0, 2).reshape(B, ot * lt)
+
+
+def q4_0_t_matmul_multi(
+    x: jnp.ndarray,  # [..., in] with 2 <= prod(lead) <= MAX_MULTI_ROWS_T
+    w: Q4_0TensorT,
+    layer_idx=None,  # not None: w leaves carry a leading [L] axis
+    *,
+    quantize_acts: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched-decode Q4_0 matmul on the T layout: streams the packed
+    weights ONCE for all B rows on the VPU (exact ``ggml_vec_dot_q4_0``
+    int4×int4 semantics per row) — replaces the magic-mantissa MXU phase
+    kernel for batched serving (its batch-1-style MXU weight-load floor was
+    the 13B batched bottleneck, BENCH_r04)."""
+    qs4 = jnp.asarray(w.qs4)
+    scales_t = jnp.asarray(w.scales_t)
+    kh4 = qs4.shape[-2]
+    lead = x.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    assert 1 <= B <= MAX_MULTI_ROWS_T, B
+    x2 = _pad_x_to(
+        x.reshape(B, x.shape[-1]).astype(jnp.float32), kh4 * PHASES
+    )
+    xr, aux = _prep_inputs_multi_t(x2, kh4, quantize_acts)
+    if layer_idx is None:
+        y = _q4_0_t_multi_call(xr, aux, qs4, scales_t, interpret=interpret)
+    else:
+        y = _q4_0_t_multi_call_stacked(
+            layer_idx, xr, aux, qs4, scales_t, interpret=interpret
+        )
+    out_dim = qs4.shape[-3] * qs4.shape[-1]
+    return y.reshape(*lead, out_dim).astype(compute_dtype)

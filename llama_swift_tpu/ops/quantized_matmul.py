@@ -143,6 +143,7 @@ def linear(
     """
     from .q4_matmul_pallas import (
         MAX_INT_KERNEL_ROWS,
+        MAX_MULTI_ROWS_T,
         MAX_PHASE_KERNEL_ROWS,
         Q4_0TensorT,
         StackedQ4Ref,
@@ -152,6 +153,7 @@ def linear(
         q4_0_int_matmul_pallas_stacked,
         q4_0_matmul_pallas,
         q4_0_matmul_pallas_stacked,
+        q4_0_t_matmul_multi,
     )
     from .q4_vpu_pallas import (
         MAX_MULTI_ROWS,
@@ -269,6 +271,14 @@ def linear(
                 x, w.w, w.layer_idx, compute_dtype=compute_dtype,
                 interpret=interp,
             )
+        if use_pallas and 1 <= n_rows <= MAX_MULTI_ROWS_T:
+            # batched decode: multi-row VPU stream (weights cross HBM once
+            # for all slot rows; exact int4-dot semantics per row)
+            return q4_0_t_matmul_multi(
+                x, w.w, w.layer_idx,
+                quantize_acts=quantize_activations,
+                compute_dtype=compute_dtype, interpret=interp,
+            )
         if use_pallas and n_rows <= MAX_PHASE_KERNEL_ROWS and _pick_kt4(kh4):
             # batched decode (continuous batching): stream packed weights
             # once for all rows through the stacked phase-dequant kernel
@@ -297,6 +307,11 @@ def linear(
             # integer decode kernel: exact int4×int4 reference semantics
             return q4_0_int_matmul_pallas(
                 x, w, compute_dtype=compute_dtype, interpret=interp
+            )
+        if use_pallas and 1 <= n_rows <= MAX_MULTI_ROWS_T:
+            return q4_0_t_matmul_multi(
+                x, w, quantize_acts=quantize_activations,
+                compute_dtype=compute_dtype, interpret=interp,
             )
         if use_pallas and n_rows <= MAX_PHASE_KERNEL_ROWS and _pick_kt4(kh4):
             # small-batch rows: fused phase-dequant kernel (streams packed

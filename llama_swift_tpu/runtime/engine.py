@@ -132,6 +132,8 @@ class _Slot:
     #: host-side ring advanced since the device ring copy (activation or a
     #: host-sampled step) — the device step re-syncs before sampling
     ring_dirty: bool = True
+    #: page ids owned by this slot (paged KV mode), in position order
+    pages: list = dataclasses.field(default_factory=list)
 
     @property
     def prefilling(self) -> bool:
@@ -183,13 +185,30 @@ class Engine:
         device_sampling: bool = True,
         ring_size: int = 64,
         seed: Optional[int] = None,
+        paged_pages: Optional[int] = None,
+        page: int = 128,
     ):
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
         self.max_slots = max_slots
         self.prefill_bucket = prefill_bucket
-        self.cache = model_lib.init_cache_batched(cfg, max_slots, dtype=cache_dtype)
+        #: PAGED KV mode (paged_pages = pool size incl. 1 scratch page):
+        #: slots consume pages as their sequences grow instead of a dense
+        #: per-slot n_ctx preallocation — max_slots can exceed what dense
+        #: allocation would fit as long as the SUM of live lengths fits
+        self.paged = paged_pages is not None
+        if self.paged:
+            self.page = min(page, cfg.n_ctx)
+            self.cache = model_lib.init_cache_paged(
+                cfg, paged_pages, max_slots, dtype=cache_dtype, page=self.page
+            )
+            # last page is the scratch page for unallocated table entries
+            self._free_pages = list(range(paged_pages - 1))
+        else:
+            self.cache = model_lib.init_cache_batched(
+                cfg, max_slots, dtype=cache_dtype
+            )
         self.slots = [_Slot() for _ in range(max_slots)]
         #: fused on-device sampling (batched_decode_sampled) when every
         #: active slot shares the engine ring size/top_k and asks for no
@@ -241,10 +260,38 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def _alloc_pages(self, idx: int, slot: _Slot, n: int) -> bool:
+        """Allocate ``n`` more pages to slot ``idx`` and point its table row
+        at them; False if the pool is exhausted."""
+        if n <= 0:
+            return True
+        if len(self._free_pages) < n:
+            return False
+        new = [self._free_pages.pop() for _ in range(n)]
+        lo = len(slot.pages)
+        slot.pages.extend(new)
+        self.cache["page_table"] = self.cache["page_table"].at[
+            idx, lo : lo + len(new)
+        ].set(jnp.asarray(new, jnp.int32))
+        return True
+
+    def _free_slot_pages(self, idx: int, slot: _Slot) -> None:
+        if not self.paged or not slot.pages:
+            return
+        self._free_pages.extend(slot.pages)
+        slot.pages = []
+        # repoint the table row at the scratch page: inactive slots are
+        # still stepped (all B lanes) and their writes must not land on a
+        # page that gets reallocated
+        scratch = self.cache["k_pool"].shape[0] - 1
+        self.cache["page_table"] = self.cache["page_table"].at[idx].set(scratch)
+
     def _admit(self) -> None:
         """Assign pending requests to free slots (cheap bookkeeping only —
         the actual prefill happens one chunk per step in
-        :meth:`_prefill_tick`)."""
+        :meth:`_prefill_tick`).  Paged mode reserves the prompt's pages here
+        (deferring admission when the pool is momentarily full); decode
+        pages are allocated on demand per step."""
         for idx, slot in enumerate(self.slots):
             if slot.active or slot.prefilling:
                 continue
@@ -252,6 +299,11 @@ class Engine:
                 req = self._pending.get_nowait()
             except queue.Empty:
                 return
+            if self.paged:
+                need = max(1, -(-len(req.prompt_ids) // self.page))
+                if not self._alloc_pages(idx, slot, need):
+                    self._pending.put(req)  # pool full: retry next step
+                    return
             sampler = SamplerState(req.sampling)
             for t in req.prompt_ids:
                 sampler.observe(t)
@@ -314,6 +366,8 @@ class Engine:
         slot.active = False
         slot.handle = None
         slot.sampler = None
+        if self.paged:
+            self._free_slot_pages(self.slots.index(slot), slot)
 
     # ------------------------------------------------------------------
 
@@ -343,6 +397,27 @@ class Engine:
         active = [i for i, s in enumerate(self.slots) if s.active]
         if not active:
             return 0
+        if self.paged:
+            # this step writes position n_past per slot: grow on demand;
+            # a slot that cannot get a page fails its stream (capacity)
+            for i in active:
+                slot = self.slots[i]
+                need = slot.n_past // self.page + 1
+                if need > len(slot.pages) and not self._alloc_pages(
+                    i, slot, need - len(slot.pages)
+                ):
+                    from .errors import PredictionFailedError
+
+                    slot.handle._finish(
+                        PredictionFailedError("KV page pool exhausted")
+                    )
+                    slot.active = False
+                    slot.handle = None
+                    slot.sampler = None
+                    self._free_slot_pages(i, slot)
+            active = [i for i in active if self.slots[i].active]
+            if not active:
+                return 0
         tokens = np.zeros(self.max_slots, dtype=np.int32)
         n_pasts = np.zeros(self.max_slots, dtype=np.int32)
         for i in active:

@@ -15,9 +15,11 @@ matches llama.cpp's classic ``perplexity`` tool so numbers are comparable:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Iterable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +32,19 @@ def log_softmax_row(logits: np.ndarray, target: int) -> float:
     m = float(np.max(logits))
     lse = m + math.log(float(np.sum(np.exp(logits - m))))
     return float(logits[target]) - lse
+
+
+@functools.partial(jax.jit, static_argnames=("first_scored",))
+def _window_nll(logits, targets, first_scored: int):
+    """Σ −log p(target) over positions [first_scored-1, n-1) — ONE device
+    dispatch per window (the r4 version looped log-softmax over 32k-float
+    rows on the host: minutes of pure host math at real-corpus scale)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    span = lp[first_scored - 1 :]
+    picked = jnp.take_along_axis(
+        span, targets[first_scored - 1 :, None], axis=-1
+    )[:, 0]
+    return -jnp.sum(picked.astype(jnp.float64))
 
 
 def perplexity(
@@ -61,11 +76,12 @@ def perplexity(
         logits, _ = model_lib.prefill(
             params, jnp.asarray(chunk), jnp.int32(0), cache, cfg
         )
-        logits = np.asarray(logits, dtype=np.float64)
-        # logits[i] predicts chunk[i+1]
-        for i in range(first_scored - 1, n_ctx - 1):
-            total_nll -= log_softmax_row(logits[i], int(chunk[i + 1]))
-            n_scored += 1
+        # logits[i] predicts chunk[i+1]: score on device in one dispatch
+        targets = jnp.asarray(np.roll(chunk, -1).astype(np.int32))
+        total_nll += float(
+            _window_nll(logits[: n_ctx - 1], targets[: n_ctx - 1], first_scored)
+        )
+        n_scored += n_ctx - first_scored
         if progress:
             progress(w + 1, n_windows, math.exp(total_nll / max(n_scored, 1)))
 

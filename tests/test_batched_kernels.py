@@ -74,6 +74,71 @@ def test_multi_row_matmul_stacked(rng):
         )
 
 
+@pytest.mark.parametrize("B", [1, 3, 8])
+def test_multi_row_t_matmul_matches_v(rng, B):
+    """The T-layout multi-row VPU kernel must equal the (reference-exact)
+    V-layout single-row matvec, row for row — same int4 dot semantics on a
+    different physical layout (1024- vs 4096-aligned in-dims)."""
+    from llama_swift_tpu.ops.q4_matmul_pallas import (
+        Q4_0TensorT,
+        q4_0_t_matmul_multi,
+    )
+
+    out_dim, in_dim = 256, 5120  # 5120: fits T alignment, NOT V's
+    w = Q4_0Tensor.quantize(
+        (rng.standard_normal((out_dim, in_dim)) * 0.05).astype(np.float32)
+    )
+    wt = Q4_0TensorT.from_q4_0(w)
+    wv = Q4_0TensorV.from_q4_0(
+        Q4_0Tensor(
+            scales=np.pad(np.asarray(w.scales), ((0, 0), (0, (8192 - 5120) // 32))),
+            qs=np.pad(np.asarray(w.qs), ((0, 0), (0, (8192 - 5120) // 2))),
+        )
+    )
+    x = (rng.standard_normal((B, in_dim)) * 0.5).astype(np.float32)
+    got = q4_0_t_matmul_multi(jnp.asarray(x), wt, interpret=True)
+    for b in range(B):
+        ref = q4_0_vpu_matvec(
+            jnp.asarray(np.pad(x[b : b + 1], ((0, 0), (0, 8192 - 5120)))),
+            wv, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(ref[0]), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_multi_row_t_matmul_stacked(rng):
+    from llama_swift_tpu.ops.q4_matmul_pallas import (
+        Q4_0TensorT,
+        q4_0_t_matmul_multi,
+    )
+
+    B, out_dim, in_dim, L = 3, 128, 1024, 2
+    ws = [
+        Q4_0Tensor.quantize(
+            (rng.standard_normal((out_dim, in_dim)) * 0.05).astype(np.float32)
+        )
+        for _ in range(L)
+    ]
+    stacked = Q4_0TensorT(
+        scales_t=jnp.stack(
+            [jnp.asarray(Q4_0TensorT.from_q4_0(w).scales_t) for w in ws]
+        ),
+        qs4=jnp.stack([jnp.asarray(Q4_0TensorT.from_q4_0(w).qs4) for w in ws]),
+    )
+    x = (rng.standard_normal((B, in_dim)) * 0.5).astype(np.float32)
+    for il in range(L):
+        got = q4_0_t_matmul_multi(
+            jnp.asarray(x), stacked, jnp.int32(il), interpret=True
+        )
+        ref = q4_0_t_matmul_multi(
+            jnp.asarray(x), Q4_0TensorT.from_q4_0(ws[il]), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+
 def _dense_batched_reference(q, keys, values, n_pasts):
     """[B, H, Dh] x [B, H, ctx, Dh] masked softmax attention (f32)."""
     s = jnp.einsum(
