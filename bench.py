@@ -498,44 +498,6 @@ def main():
 
     stage("longctx", run_longctx)
 
-    # --- engine serving aggregate (continuous batching + fused on-device
-    # sampling + PAGED KV): the product serving loop under load ------------
-    def run_engine():
-        import gc as _gc
-
-        import jax.numpy as jnp_
-
-        from llama_swift_tpu.config import SamplingConfig
-        from llama_swift_tpu.runtime.engine import Engine
-        from llama_swift_tpu.tokenizer import Vocab
-
-        pieces = [b"<unk>", b"<s>", b"</s>"]
-        pieces += [bytes([b]) for b in range(32, 127)]
-        pieces += [f"<x{i}>".encode() for i in range(cfg.n_vocab - len(pieces))]
-        vocab = Vocab(pieces)
-        slots = 8
-        # paged pool sized for the bench load (tiny prompts + 48 tokens)
-        eng = Engine(
-            params, cfg, vocab, max_slots=slots, prefill_bucket=64,
-            cache_dtype=jnp.bfloat16, paged_pages=slots * 2 + 1, page=128,
-        )
-        prompts = [f"the rain in spain {i} " for i in range(slots)]
-        scfg = SamplingConfig(n_predict=48)
-        # warm (compile admission + decode programs)
-        with eng:
-            list(eng.submit(prompts[0], SamplingConfig(n_predict=4)))
-            t0 = time.perf_counter()
-            handles = [eng.submit(p, scfg) for p in prompts]
-            for h in handles:
-                list(h)
-            dt = time.perf_counter() - t0
-        toks = slots * 48
-        emit(f"engine_tok_per_s_{args.size}_q4_0_slots{slots}_paged",
-             toks / dt, "tok/s", (toks / dt) / (slots * sol))
-        del eng
-        _gc.collect()
-
-    stage("engine", run_engine)
 
     # --- served throughput (runner path: chunked device-sampled decode) ----
     def run_served():
@@ -556,11 +518,55 @@ def main():
 
     stage("selfcheck", run_selfcheck)
 
-    # --- 13B continuous batching (BASELINE.json: "13B Q4_0 8-32 streams") --
+    # --- engine serving aggregate (continuous batching + fused on-device
+    # sampling + PAGED KV): the product serving loop under load.  Builds its
+    # OWN V-layout params — batched decode has multi-row kernels for the
+    # V/T layouts only (the headline W-layout stacks would dense-dequant
+    # every layer every step) -----------------------------------------------
     del params
     import gc
 
     gc.collect()
+
+    def run_engine():
+        from llama_swift_tpu.config import SamplingConfig
+        from llama_swift_tpu.runtime.engine import Engine
+        from llama_swift_tpu.tokenizer import Vocab
+
+        args_v = argparse.Namespace(**{**vars(args), "weights": "q4-packed-v"})
+        params_v, _ = build_params(cfg, args_v)
+        try:
+            pieces = [b"<unk>", b"<s>", b"</s>"]
+            pieces += [bytes([b]) for b in range(32, 127)]
+            pieces += [
+                f"<x{i}>".encode() for i in range(cfg.n_vocab - len(pieces))
+            ]
+            vocab = Vocab(pieces)
+            slots = 8
+            # paged pool sized for the bench load (tiny prompts + 48 tokens)
+            eng = Engine(
+                params_v, cfg, vocab, max_slots=slots, prefill_bucket=64,
+                cache_dtype=jnp.bfloat16, paged_pages=slots * 2 + 1, page=128,
+            )
+            prompts = [f"the rain in spain {i} " for i in range(slots)]
+            scfg = SamplingConfig(n_predict=48)
+            # warm (compile admission + decode programs)
+            with eng:
+                list(eng.submit(prompts[0], SamplingConfig(n_predict=4)))
+                t0 = time.perf_counter()
+                handles = [eng.submit(p, scfg) for p in prompts]
+                for h in handles:
+                    list(h)
+                dt = time.perf_counter() - t0
+            toks = slots * 48
+            emit(f"engine_tok_per_s_{args.size}_q4_0_slots{slots}_paged",
+                 toks / dt, "tok/s", (toks / dt) / (slots * sol))
+            del eng
+        finally:
+            del params_v
+            gc.collect()
+
+    stage("engine", run_engine)
     b_size = "13b" if args.size in ("7b", "13b") else args.size
     # batched matmuls serve through the stacked T-layout kernels (the V
     # layout's 4096-aligned in-dims balloon 13B's 5120-wide mats by ~60% and

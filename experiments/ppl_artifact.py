@@ -63,6 +63,13 @@ def main(argv=None) -> int:
     ap.add_argument("--n-ctx", type=int, default=64)
     ap.add_argument("--max-windows", type=int, default=6)
     ap.add_argument("--workdir", default="/tmp/ppl_artifact")
+    # model size knobs (r5: run the REAL 512-ctx protocol on a model big
+    # enough for quantization error to register — the r3 artifact used a
+    # 2-layer dim-64 toy at 64 ctx)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--n-heads", type=int, default=4)
+    ap.add_argument("--n-layers", type=int, default=2)
+    ap.add_argument("--vocab", type=int, default=288)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -73,7 +80,9 @@ def main(argv=None) -> int:
     os.makedirs(ckpt_dir, exist_ok=True)
 
     # --- 1. fake torch checkpoint with reference tensor names -------------
-    dim, n_heads, n_layers, vocab = 64, 4, 2, 288
+    dim, n_heads, n_layers, vocab = (
+        args.dim, args.n_heads, args.n_layers, args.vocab
+    )
     rng = np.random.default_rng(0)
 
     def t(*shape, scale=0.05):
@@ -146,6 +155,8 @@ def main(argv=None) -> int:
         "text": args.text,
         "n_ctx": args.n_ctx,
         "windows": args.max_windows,
+        "model": {"dim": dim, "n_heads": n_heads, "n_layers": n_layers,
+                  "vocab": vocab},
         "n_scored": results["f16"]["n_scored"],
         "weights": "random tiny model (no LLaMA weights in image); absolute "
                    "ppl ~ uniform-over-vocab, delta demonstrates the q4_0 "

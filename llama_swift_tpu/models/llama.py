@@ -526,6 +526,68 @@ def init_cache(cfg: ModelConfig, dtype=None, batch: Optional[int] = None) -> Cac
 # ---------------------------------------------------------------------------
 
 
+def _attention_flash_xla(q, keys, values, n_past, n_ctx, compute_dtype,
+                         chunk: int = 512):
+    """Online-softmax prefill attention: ``lax.scan`` over key chunks, so
+    peak score memory is [H, N, chunk] instead of [H, N, n_ctx] — the
+    long-context prefill path (the dense form materializes 34 MB/layer at
+    512 ctx and grows quadratically; SURVEY §5.7).  Same mask/numerics as
+    :func:`_attention` up to softmax reassociation."""
+    N = q.shape[0]
+    d = q.shape[-1]
+    H = keys.shape[0]
+    scale = 1.0 / np.sqrt(float(d))
+    qf = q.astype(jnp.float32).transpose(1, 0, 2)  # [H, N, Dh]
+    nchunks = n_ctx // chunk
+    ks = keys.astype(jnp.float32).reshape(H, nchunks, chunk, d).transpose(
+        1, 0, 2, 3
+    )
+    vs = values.astype(jnp.float32).reshape(H, nchunks, chunk, d).transpose(
+        1, 0, 2, 3
+    )
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (N, chunk), 0)
+    j_off = jax.lax.broadcasted_iota(jnp.int32, (N, chunk), 1)
+
+    def body(carry, kv):
+        m, l, acc, c = carry
+        kc, vc = kv  # [H, chunk, d]
+        s = jnp.einsum(
+            "hnd,hjd->hnj", qf, kc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale  # [H, N, chunk]
+        allowed = (c * chunk + j_off) <= (n_past + i_idx)
+        s = jnp.where(allowed[None], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # -inf rows (no allowed key in this chunk yet) keep m = -inf; guard
+        # the exp against (-inf) - (-inf)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - m_safe), 0.0)
+        p = jnp.exp(jnp.where(jnp.isfinite(s), s - m_safe, -jnp.inf))
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.einsum(
+            "hnj,hjd->hnd", p, vc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = acc * alpha + pv
+        return (m_new, l, acc, c + 1), None
+
+    m0 = jnp.full((H, N, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((H, N, 1), jnp.float32)
+    a0 = jnp.zeros((H, N, d), jnp.float32)
+    (m, l, acc, _), _ = jax.lax.scan(
+        body, (m0, l0, a0, jnp.int32(0)), (ks, vs)
+    )
+    ctx = acc / jnp.maximum(l, 1e-30)  # every query attends >= 1 key
+    return ctx.transpose(1, 0, 2).astype(compute_dtype)
+
+
+#: prefill contexts at/above this use the chunked online-softmax attention
+#: (peak score memory [H, N, chunk] instead of [H, N, n_ctx])
+FLASH_PREFILL_MIN_CTX = 1024
+
+
 def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
     """Causal attention over the full cache buffer.
 
@@ -533,7 +595,13 @@ def _attention(q, keys, values, n_past, n_ctx, compute_dtype):
     for query i: j <= n_past + i — exactly ``ggml_diag_mask_inf(KQ_scaled,
     n_past)`` (``ggml.c:6921-6981``); slots beyond the high-water mark are
     never attended, so stale cache contents are harmless.
+
+    Long contexts route to :func:`_attention_flash_xla` (chunked scores).
     """
+    if n_ctx >= FLASH_PREFILL_MIN_CTX and n_ctx % 512 == 0:
+        return _attention_flash_xla(
+            q, keys, values, n_past, n_ctx, compute_dtype
+        )
     N = q.shape[0]
     d = q.shape[-1]
     scale = 1.0 / np.sqrt(float(d))  # 1/sqrt(n_embd/n_head), .mm:620
@@ -755,15 +823,19 @@ def forward(
                 )[None].astype(compute_dtype)
             elif "k_scale" in cl:
                 # int8 cache: scales applied inside the kernel — the cache
-                # streams at 1 B/elem, no dense dequant pass
-                ctx = flash_decode_attention_stacked_int8(
+                # streams at 1 B/elem, no dense dequant pass.  The cache
+                # buffers pass THROUGH the kernel (aliased) so XLA never
+                # copies them around the custom call (attention._alias_shim)
+                ctx8, cl["k"], cl["v"] = flash_decode_attention_stacked_int8(
                     q[0], cl["k"], cl["v"], cl["k_scale"], cl["v_scale"],
                     il, n_past, chunk=chunk,
-                )[None].astype(compute_dtype)
+                )
+                ctx = ctx8[None].astype(compute_dtype)
             else:
-                ctx = flash_decode_attention_stacked(
+                ctxf, cl["k"], cl["v"] = flash_decode_attention_stacked(
                     q[0], cl["k"], cl["v"], il, n_past, chunk=chunk
-                )[None].astype(compute_dtype)
+                )
+                ctx = ctxf[None].astype(compute_dtype)
         elif il is None:
             ctx = _attention(
                 q, cache_read(cl, "k"), cache_read(cl, "v"), n_past, cfg.n_ctx,
@@ -1014,30 +1086,31 @@ def forward_batched(
 
     def cache_write_full_b(c, name, val, il):
         """In-place write into the FULL layer-major cache [L, B, H, ctx, Dh]
-        at (il, b, :, n_pasts[b], :) — vmapped dynamic_update_slice over the
-        slot axis, no per-layer plane copies (unrolled path)."""
+        at (il, b, :, n_pasts[b], :) — B UNROLLED dynamic_update_slices
+        (B is static).  NOT a vmapped DUS: vmap over the non-leading slot
+        axis makes XLA materialize a transposed copy of the whole cache —
+        measured 4.3 ms/layer at 13B batch-8 (the r5 batched regression);
+        the unrolled form is free (in-place on the donated buffer)."""
         c = dict(c)
 
-        def upd(slot_buf, v, np_):  # slot_buf [L, H, ctx, Dh], v [H, 1, Dh]
-            return jax.lax.dynamic_update_slice(
-                slot_buf, v[None].astype(slot_buf.dtype), (il, 0, np_, 0)
-            )
+        def write_all(buf, vals):  # vals [B, H, Dh]
+            for b in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf,
+                    vals[b][None, None, :, None, :].astype(buf.dtype),
+                    (il, b, 0, n_pasts[b], 0),
+                )
+            return buf
 
         if name + "_scale" in c:
             amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [B, H, 1]
             scale = amax / 127.0
             inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
             q = jnp.clip(jnp.round(val * inv), -127, 127)
-            c[name] = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
-                c[name], q[:, :, None, :], n_pasts
-            )
-            c[name + "_scale"] = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
-                c[name + "_scale"], scale[:, :, None, :], n_pasts
-            )
+            c[name] = write_all(c[name], q)
+            c[name + "_scale"] = write_all(c[name + "_scale"], scale)
             return c
-        c[name] = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
-            c[name], val[:, :, None, :], n_pasts
-        )
+        c[name] = write_all(c[name], val)
         return c
 
     def cache_read_full_b(c, name, il):
@@ -1047,7 +1120,9 @@ def forward_batched(
 
     def cache_write_paged_b(c, name, val, il):
         """PAGED write: slot b's new token lands at position n_pasts[b] via
-        its page-table row — one batched scatter into the page pool."""
+        its page-table row — B unrolled in-place dynamic_update_slices
+        (a batched scatter / non-leading vmapped DUS makes XLA copy the
+        whole pool; see cache_write_full_b)."""
         pool = c[name + "_pool"]
         page = pool.shape[3]
         pids = jnp.clip(
@@ -1056,21 +1131,27 @@ def forward_batched(
         )
         offs = n_pasts % page
         c = dict(c)
+
+        def write_all(buf, vals):  # vals [B, H, X]
+            for b in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf,
+                    vals[b][None, None, :, None, :].astype(buf.dtype),
+                    (pids[b], il, 0, offs[b], 0),
+                )
+            return buf
+
         if name + "_scale_pool" in c:
             amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [B, H, 1]
             scale = amax / 127.0
             inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
             qv = jnp.clip(jnp.round(val * inv), -127, 127)
-            c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
-                qv.astype(pool.dtype)
+            c[name + "_pool"] = write_all(pool, qv)
+            c[name + "_scale_pool"] = write_all(
+                c[name + "_scale_pool"], scale
             )
-            c[name + "_scale_pool"] = c[name + "_scale_pool"].at[
-                pids, il, :, offs, :
-            ].set(scale.astype(jnp.float32))
             return c
-        c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
-            val.astype(pool.dtype)
-        )
+        c[name + "_pool"] = write_all(pool, val)
         return c
 
     def layer_fn(x, layer, cl, il=None):
@@ -1107,17 +1188,22 @@ def forward_batched(
 
             cl = cache_write_paged_b(cl, "k", k, il)
             cl = cache_write_paged_b(cl, "v", v, il)
+            # pools pass THROUGH the kernels (aliased) — no XLA copies
             if "k_scale_pool" in cl:
-                ctx = flash_decode_attention_paged_int8(
-                    q, cl["k_pool"], cl["v_pool"],
-                    cl["k_scale_pool"], cl["v_scale_pool"],
-                    cl["page_table"], il, n_pasts,
-                ).astype(compute_dtype)
+                ctx8, cl["k_pool"], cl["v_pool"] = (
+                    flash_decode_attention_paged_int8(
+                        q, cl["k_pool"], cl["v_pool"],
+                        cl["k_scale_pool"], cl["v_scale_pool"],
+                        cl["page_table"], il, n_pasts,
+                    )
+                )
+                ctx = ctx8.astype(compute_dtype)
             else:
-                ctx = flash_decode_attention_paged(
+                ctxf, cl["k_pool"], cl["v_pool"] = flash_decode_attention_paged(
                     q, cl["k_pool"], cl["v_pool"], cl["page_table"],
                     il, n_pasts,
-                ).astype(compute_dtype)
+                )
+                ctx = ctxf.astype(compute_dtype)
         elif cfg.use_flash_decode:
             # batched flash decode reads the layer-major cache in place with
             # per-slot O(n_past) KV traffic (r4's dense path re-read the
@@ -1130,15 +1216,20 @@ def forward_batched(
             cl = cache_write_full_b(cl, "k", k, il)
             cl = cache_write_full_b(cl, "v", v, il)
             chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
+            # cache buffers pass THROUGH the kernels (aliased) — without
+            # this, XLA copies both full caches around every call: measured
+            # 24 ms/call at 13B batch-8, 6x the whole step (r5)
             if "k_scale" in cl:
-                ctx = flash_decode_attention_batched_int8(
+                ctx8, cl["k"], cl["v"] = flash_decode_attention_batched_int8(
                     q, cl["k"], cl["v"], cl["k_scale"], cl["v_scale"],
                     il, n_pasts, chunk=chunk,
-                ).astype(compute_dtype)
+                )
+                ctx = ctx8.astype(compute_dtype)
             else:
-                ctx = flash_decode_attention_batched(
+                ctxf, cl["k"], cl["v"] = flash_decode_attention_batched(
                     q, cl["k"], cl["v"], il, n_pasts, chunk=chunk
-                ).astype(compute_dtype)
+                )
+                ctx = ctxf.astype(compute_dtype)
         else:
             cl = cache_write_full_b(cl, "k", k, il)
             cl = cache_write_full_b(cl, "v", v, il)

@@ -19,6 +19,7 @@ score-row materialization and non-fused softmax start to cost.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -28,6 +29,79 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+
+def _diag_scores(qb, kc):
+    """qb [HB, Dh], kc [HB, C, Dh] → per-head scores [HB, C] via ONE MXU dot
+    over ALL head pairs + diagonal-block extraction.  HB serialized [1, Dh]
+    dots pay an MXU-launch latency each — measured 6x slower end-to-end on
+    the batched decode path (r5); the HB× redundant MACs are free (the MXU
+    is idle at decode batch sizes).  HIGHEST: Mosaic defaults f32 dots to
+    single-pass bf16 (r4 selfcheck catch)."""
+    hb, chunk, dh = kc.shape
+    big = jax.lax.dot_general(
+        qb, kc.reshape(hb * chunk, dh),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [HB, HB·C]
+    return jnp.concatenate(
+        [big[h : h + 1, h * chunk : (h + 1) * chunk] for h in range(hb)],
+        axis=0,
+    )
+
+
+def _diag_pv(p, vc):
+    """p [HB, C] softmax weights, vc [HB, C, Dh] → [HB, Dh] per-head p·V as
+    ONE dot: P carries p on the diagonal blocks and exact zeros elsewhere."""
+    hb, chunk, dh = vc.shape
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * chunk), 1) // chunk
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * chunk), 0)
+    pbig = jnp.where(lane_h == row_h, jnp.concatenate([p] * hb, axis=1), 0.0)
+    return jax.lax.dot_general(
+        pbig, vc.reshape(hb * chunk, dh),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _alias_shim(kernel, n_alias: int):
+    """Wrap a flash kernel with ``n_alias`` extra pass-through output refs
+    (cache buffers aliased input→output, never written).
+
+    Why: the serving dataflow is "DUS-write the cache → flash-read it →
+    carry it"; with the cache as a plain custom-call INPUT, XLA cannot
+    prove the call doesn't alias and inserts full-cache copies around every
+    invocation — measured 24 ms/call at 13B batch-8 (2× 1.7 GB caches
+    copied), 6× the whole step.  Aliasing the buffers THROUGH the call
+    ("donated buffers were not usable" warning gone) makes them in-place.
+    """
+
+    def shim(*refs):
+        # refs = (*ins, out, *alias_outs, *scratch): drop the alias outputs
+        n_scratch = 3  # m, l, acc
+        ins_out = refs[: len(refs) - n_scratch - n_alias]
+        scratch = refs[len(refs) - n_scratch :]
+        return kernel(*ins_out, *scratch)
+
+    return shim
+
+
+def _with_alias_outspecs(grid_spec):
+    """Copy of a PrefetchScalarGridSpec with two extra un-pipelined (ANY)
+    output specs for the aliased cache pass-throughs."""
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=grid_spec.num_scalar_prefetch,
+        grid=grid_spec.grid,
+        in_specs=grid_spec.in_specs,
+        out_specs=(
+            grid_spec.out_specs,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=grid_spec.scratch_shapes,
+    )
 
 
 def _flash_decode_kernel(npast_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref):
@@ -180,24 +254,7 @@ def _flash_decode_stacked_kernel(
     def _():
         scale = 1.0 / np.sqrt(float(dh))
         qb = q_ref[pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
-        # per-head 2D dots, statically unrolled (Mosaic's dot lowering has no
-        # batch dims in this jax version)
-        s = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qb[hh : hh + 1],
-                    k_ref[0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # HIGHEST: Mosaic's default lowers f32 dots to
-                    # single-pass bf16 on the MXU (~1e-3/layer drift,
-                    # compounds across layers; experiments/tpu_selfcheck)
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        ) * scale  # [HB, C]
+        s = _diag_scores(qb, k_ref[0].astype(jnp.float32)) * scale  # [HB, C]
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
 
@@ -206,22 +263,7 @@ def _flash_decode_stacked_kernel(
         alpha = jnp.exp(m_prev - m_new)  # [HB, 1]
         p = jnp.exp(s - m_new)  # [HB, C]
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    p[hh : hh + 1],
-                    v_ref[0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # HIGHEST: Mosaic's default lowers f32 dots to
-                    # single-pass bf16 on the MXU (~1e-3/layer drift,
-                    # compounds across layers; experiments/tpu_selfcheck)
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        )  # [HB, Dh]
+        pv = _diag_pv(p, v_ref[0].astype(jnp.float32))  # [HB, Dh]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -257,22 +299,8 @@ def _flash_decode_stacked_int8_kernel(
     def _():
         scale = 1.0 / np.sqrt(float(dh))
         qb = q_ref[pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
-        s = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qb[hh : hh + 1],
-                    k_ref[0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # HIGHEST: Mosaic's default lowers f32 dots to
-                    # single-pass bf16 on the MXU (~1e-3/layer drift,
-                    # compounds across layers; experiments/tpu_selfcheck)
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                * ks_ref[0, hh : hh + 1, :]
-                for hh in range(hb)
-            ],
-            axis=0,
+        s = (
+            _diag_scores(qb, k_ref[0].astype(jnp.float32)) * ks_ref[0]
         ) * scale  # [HB, C]
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
@@ -284,22 +312,7 @@ def _flash_decode_stacked_int8_kernel(
         l_ref[:] = l_ref[:] * alpha + jnp.sum(
             jnp.exp(s - m_new), axis=1, keepdims=True
         )
-        pv = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    p[hh : hh + 1],
-                    v_ref[0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # HIGHEST: Mosaic's default lowers f32 dots to
-                    # single-pass bf16 on the MXU (~1e-3/layer drift,
-                    # compounds across layers; experiments/tpu_selfcheck)
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        )
+        pv = _diag_pv(p, v_ref[0].astype(jnp.float32))
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -364,11 +377,24 @@ def flash_decode_attention_stacked_int8(
             pltpu.VMEM((h_block, dh), jnp.float32),
         ],
     )
+    if interpret:
+        out = pl.pallas_call(
+            _flash_decode_stacked_int8_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
+            interpret=True,
+        )(scalars, q, keys, values, ks, vs)
+        return out, keys, values
+    grid_spec_a = _with_alias_outspecs(grid_spec)
     return pl.pallas_call(
-        _flash_decode_stacked_int8_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
-        interpret=interpret,
+        _alias_shim(_flash_decode_stacked_int8_kernel, 2),
+        grid_spec=grid_spec_a,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, dh), jnp.float32),
+            jax.ShapeDtypeStruct(keys.shape, keys.dtype),
+            jax.ShapeDtypeStruct(values.shape, values.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
     )(scalars, q, keys, values, ks, vs)
 
 
@@ -409,6 +435,29 @@ def flash_decode_attention_stacked(
     def kv_map(i, c, s):
         return (s[0], i, jnp.minimum(c, s[1] // chunk), 0)
 
+    if interpret:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(h // h_block, n_ctx // chunk),
+            in_specs=[
+                pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+                pl.BlockSpec((1, h_block, chunk, dh), kv_map),
+                pl.BlockSpec((1, h_block, chunk, dh), kv_map),
+            ],
+            out_specs=pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((h_block, 128), jnp.float32),
+                pltpu.VMEM((h_block, 128), jnp.float32),
+                pltpu.VMEM((h_block, dh), jnp.float32),
+            ],
+        )
+        out = pl.pallas_call(
+            _flash_decode_stacked_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
+            interpret=True,
+        )(scalars, q, keys, values)
+        return out, keys, values
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(h // h_block, n_ctx // chunk),
@@ -417,7 +466,11 @@ def flash_decode_attention_stacked(
             pl.BlockSpec((1, h_block, chunk, dh), kv_map),
             pl.BlockSpec((1, h_block, chunk, dh), kv_map),
         ],
-        out_specs=pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+        out_specs=(
+            pl.BlockSpec((h, dh), lambda i, c, s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
         scratch_shapes=[
             pltpu.VMEM((h_block, 128), jnp.float32),
             pltpu.VMEM((h_block, 128), jnp.float32),
@@ -425,10 +478,14 @@ def flash_decode_attention_stacked(
         ],
     )
     return pl.pallas_call(
-        _flash_decode_stacked_kernel,
+        _alias_shim(_flash_decode_stacked_kernel, 2),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((h, dh), jnp.float32),
-        interpret=interpret,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, dh), jnp.float32),
+            jax.ShapeDtypeStruct(keys.shape, keys.dtype),
+            jax.ShapeDtypeStruct(values.shape, values.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
     )(scalars, q, keys, values)
 
 
@@ -465,20 +522,7 @@ def _flash_batched_kernel(
     def _():
         scale = 1.0 / np.sqrt(float(dh))
         qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)  # [HB, Dh]
-        s = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qb[hh : hh + 1],
-                    k_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # HIGHEST: Mosaic defaults f32 dots to single-pass bf16
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        ) * scale  # [HB, C]
+        s = _diag_scores(qb, k_ref[0, 0].astype(jnp.float32)) * scale
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
         m_prev = m_ref[:, 0:1]
@@ -486,19 +530,7 @@ def _flash_batched_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    p[hh : hh + 1],
-                    v_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        )
+        pv = _diag_pv(p, v_ref[0, 0].astype(jnp.float32))
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -532,19 +564,8 @@ def _flash_batched_int8_kernel(
     def _():
         scale = 1.0 / np.sqrt(float(dh))
         qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)
-        s = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qb[hh : hh + 1],
-                    k_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                * ks_ref[0, 0, hh : hh + 1, :]
-                for hh in range(hb)
-            ],
-            axis=0,
+        s = (
+            _diag_scores(qb, k_ref[0, 0].astype(jnp.float32)) * ks_ref[0, 0]
         ) * scale
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
@@ -554,19 +575,7 @@ def _flash_batched_int8_kernel(
         pe = jnp.exp(s - m_new)
         p = pe * vs_ref[0, 0]  # fold v scales into the weights
         l_ref[:] = l_ref[:] * alpha + jnp.sum(pe, axis=1, keepdims=True)
-        pv = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    p[hh : hh + 1],
-                    v_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        )
+        pv = _diag_pv(p, v_ref[0, 0].astype(jnp.float32))
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -627,11 +636,24 @@ def flash_decode_attention_batched(
             pltpu.VMEM((h_block, dh), jnp.float32),
         ],
     )
+    if interpret:
+        out = pl.pallas_call(
+            _flash_batched_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            interpret=True,
+        )(scalars, q, keys, values)
+        return out, keys, values
+    grid_spec_a = _with_alias_outspecs(grid_spec)
     return pl.pallas_call(
-        _flash_batched_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
-        interpret=interpret,
+        _alias_shim(_flash_batched_kernel, 2),
+        grid_spec=grid_spec_a,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            jax.ShapeDtypeStruct(keys.shape, keys.dtype),
+            jax.ShapeDtypeStruct(values.shape, values.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
     )(scalars, q, keys, values)
 
 
@@ -687,11 +709,24 @@ def flash_decode_attention_batched_int8(
             pltpu.VMEM((h_block, dh), jnp.float32),
         ],
     )
+    if interpret:
+        out = pl.pallas_call(
+            _flash_batched_int8_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            interpret=True,
+        )(scalars, q, keys, values, ks, vs)
+        return out, keys, values
+    grid_spec_a = _with_alias_outspecs(grid_spec)
     return pl.pallas_call(
-        _flash_batched_int8_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
-        interpret=interpret,
+        _alias_shim(_flash_batched_int8_kernel, 2),
+        grid_spec=grid_spec_a,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            jax.ShapeDtypeStruct(keys.shape, keys.dtype),
+            jax.ShapeDtypeStruct(values.shape, values.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
     )(scalars, q, keys, values, ks, vs)
 
 
@@ -732,19 +767,7 @@ def _flash_paged_kernel(
     def _():
         scale = 1.0 / np.sqrt(float(dh))
         qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)
-        s = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qb[hh : hh + 1],
-                    k_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        ) * scale
+        s = _diag_scores(qb, k_ref[0, 0].astype(jnp.float32)) * scale
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
         m_prev = m_ref[:, 0:1]
@@ -752,19 +775,7 @@ def _flash_paged_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    p[hh : hh + 1],
-                    v_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        )
+        pv = _diag_pv(p, v_ref[0, 0].astype(jnp.float32))
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -798,19 +809,8 @@ def _flash_paged_int8_kernel(
     def _():
         scale = 1.0 / np.sqrt(float(dh))
         qb = q_ref[b, pl.dslice(i * hb, hb), :].astype(jnp.float32)
-        s = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    qb[hh : hh + 1],
-                    k_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                * ks_ref[0, 0, hh : hh + 1, :]
-                for hh in range(hb)
-            ],
-            axis=0,
+        s = (
+            _diag_scores(qb, k_ref[0, 0].astype(jnp.float32)) * ks_ref[0, 0]
         ) * scale
         j = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1)
         s = jnp.where(j <= n_past, s, NEG_INF)
@@ -820,19 +820,7 @@ def _flash_paged_int8_kernel(
         pe = jnp.exp(s - m_new)
         p = pe * vs_ref[0, 0]
         l_ref[:] = l_ref[:] * alpha + jnp.sum(pe, axis=1, keepdims=True)
-        pv = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    p[hh : hh + 1],
-                    v_ref[0, 0, hh].astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                for hh in range(hb)
-            ],
-            axis=0,
-        )
+        pv = _diag_pv(p, v_ref[0, 0].astype(jnp.float32))
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -894,11 +882,24 @@ def flash_decode_attention_paged(
             pltpu.VMEM((h_block, dh), jnp.float32),
         ],
     )
+    if interpret:
+        out = pl.pallas_call(
+            _flash_paged_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            interpret=True,
+        )(scalars, q, k_pool, v_pool)
+        return out, k_pool, v_pool
+    grid_spec_a = _with_alias_outspecs(grid_spec)
     return pl.pallas_call(
-        _flash_paged_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
-        interpret=interpret,
+        _alias_shim(_flash_paged_kernel, 2),
+        grid_spec=grid_spec_a,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
     )(scalars, q, k_pool, v_pool)
 
 
@@ -960,11 +961,24 @@ def flash_decode_attention_paged_int8(
             pltpu.VMEM((h_block, dh), jnp.float32),
         ],
     )
+    if interpret:
+        out = pl.pallas_call(
+            _flash_paged_int8_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            interpret=True,
+        )(scalars, q, k_pool, v_pool, ks, vs)
+        return out, k_pool, v_pool
+    grid_spec_a = _with_alias_outspecs(grid_spec)
     return pl.pallas_call(
-        _flash_paged_int8_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
-        interpret=interpret,
+        _alias_shim(_flash_paged_int8_kernel, 2),
+        grid_spec=grid_spec_a,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, h, dh), jnp.float32),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
     )(scalars, q, k_pool, v_pool, ks, vs)
 
 

@@ -779,22 +779,39 @@ def _make_layers_kernel(L, H, ot13, kh4, kh4_2, n_chunks, ctx_chunk,
         def tile_loop(p, il, base, consume):
             """One weight phase: for j in [0, count): start the DMA NB-1
             ahead, wait tile j, matvec, hand the [128, 1] result to
-            ``consume(j, y)``.  Small body: one start (1-2 predicates), one
-            wait, one matvec, one store."""
+            ``consume(j, y)``.  The MAIN range [0, cnt-NB+1) starts its
+            lookahead in the SAME phase unconditionally (zero predicates per
+            step); only the NB-1 TAIL steps pay the successor routing."""
             qs_h, sc_h, cnt, kw, nbw = phases[p]
+            main = max(0, cnt - (NB - 1))
 
-            def body(j, carry):
+            def wait_core(j):
                 slot = (base + j) % NB
-                start_ahead(p, il, j, base + j + NB - 1)
                 a, b = wcopies(qs_h, sc_h, il, j, slot, kw, nbw)
                 a.wait()
                 b.wait()
                 y = _vpu_core(qbuf[slot, :, :kw], xr_ref[:, :kw],
                               aux_ref[:, :nbw], sbuf[slot, :, :nbw])
                 consume(j, y)
+
+            def body_main(j, carry):
+                a, b = wcopies(
+                    qs_h, sc_h, il, j + NB - 1, (base + j + NB - 1) % NB,
+                    kw, nbw,
+                )
+                a.start()
+                b.start()
+                wait_core(j)
                 return carry
 
-            jax.lax.fori_loop(0, cnt, body, 0, unroll=False)
+            jax.lax.fori_loop(0, main, body_main, 0, unroll=False)
+
+            def body_tail(j, carry):
+                start_ahead(p, il, j, base + j + NB - 1)
+                wait_core(j)
+                return carry
+
+            jax.lax.fori_loop(main, cnt, body_tail, 0, unroll=False)
             return base + cnt
 
         x2d[:, :] = x_ref[:, :]

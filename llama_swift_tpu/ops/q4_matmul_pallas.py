@@ -603,18 +603,20 @@ def q4_0_matmul_pallas(
 # multi-row (batched-decode) VPU kernel on the T layout
 # ---------------------------------------------------------------------------
 
-#: rows the T-layout multi-row VPU kernel accepts — same economics as the
-#: V-layout multi kernel (ops/q4_vpu_pallas.MAX_MULTI_ROWS): 2 shared
-#: dequant ops + B FMAs per packed word.  The T layout matters for batched
-#: 13B serving: its 1024-aligned in-dims fit 5120/13824-wide mats where the
-#: V layout's 4096 alignment balloons them ~60% past the HBM budget.
-MAX_MULTI_ROWS_T = 32
+#: rows the T-layout multi-row VPU kernel accepts in `linear` dispatch.
+#: DISABLED (0): measured 11.9 tok/s aggregate at 13B batch-8 on hardware —
+#: the T orientation needs a LANE-broadcast of the [kh4, 1] activation
+#: column for every FMA, which Mosaic lowers to per-vreg shuffles (the V
+#: layout's sublane-broadcast is free; its 4096-aligned in-dims just don't
+#: fit 13B).  Batched T serving stays on the block-diagonal MXU phase
+#: kernel; the kernel below remains for the record + interpret tests.
+MAX_MULTI_ROWS_T = 0
 
 _T_MASKS = [0xF << (4 * p) for p in range(7)]  # phase 7 uses a logical shift
 _T_XSCALE = [float(16.0 ** -p) for p in range(7)] + [1.0]
 
 
-def _vpu_core_multi_t(xl, xr_ref, aux_ref, scales, B: int):
+def _vpu_core_multi_t(xl, xr_ref, aux_ref, scales, B: int, kchunk: int = 512):
     """B-row exact int4-dot core on a T-layout tile.
 
     xl: i32 [KH4, 128] (in-packed on sublanes, out rows on lanes);
@@ -623,25 +625,39 @@ def _vpu_core_multi_t(xl, xr_ref, aux_ref, scales, B: int):
     2b+1 = row b's block scales d_x / 8·Σ q); scales: f32 [NB, 128].
     Returns y [B, 128] — LANE-major outputs, no per-tile transpose (the
     V-layout core's [128, 1] column needed one per tile).
+
+    Processes the in-dim in ``kchunk``-sublane slices: hoisting all 8
+    whole-tile nibble planes (8·kh4·128·4 B live) blows the 16 MB
+    scoped-VMEM stack at 13B's kh4=1792 w2 tiles (compile-time OOM, r5).
     """
     kh4 = xl.shape[0]
-    nb = kh4 // 4
-    nibs = [
-        (xl & _T_MASKS[p]).astype(jnp.float32) for p in range(7)
-    ] + [jax.lax.shift_right_logical(xl, 28).astype(jnp.float32)]
-    outs = []
-    for b in range(B):
-        acc = nibs[0] * xr_ref[:, b * 8 : b * 8 + 1]
-        for p in range(1, PHASES):
-            acc = acc + nibs[p] * xr_ref[:, b * 8 + p : b * 8 + p + 1]
-        a4 = acc.reshape(nb, 4, LANE_TILE)
-        accb = a4[:, 0] + a4[:, 1] + a4[:, 2] + a4[:, 3]  # [NB, 128]
-        dx = aux_ref[:, 2 * b : 2 * b + 1]  # [NB, 1]
-        corr = aux_ref[:, 2 * b + 1 : 2 * b + 2]
-        outs.append(
-            jnp.sum((accb - corr) * (scales * dx), axis=0, keepdims=True)
-        )
-    return jnp.concatenate(outs, axis=0)  # [B, 128]
+    ys = None
+    for k0 in range(0, kh4, kchunk):
+        k1 = min(k0 + kchunk, kh4)
+        xc = xl[k0:k1]
+        nibs = [
+            (xc & _T_MASKS[p]).astype(jnp.float32) for p in range(7)
+        ] + [jax.lax.shift_right_logical(xc, 28).astype(jnp.float32)]
+        nbc = (k1 - k0) // 4
+        b0 = k0 // 4
+        outs = []
+        for b in range(B):
+            acc = nibs[0] * xr_ref[k0:k1, b * 8 : b * 8 + 1]
+            for p in range(1, PHASES):
+                acc = acc + nibs[p] * xr_ref[k0:k1, b * 8 + p : b * 8 + p + 1]
+            a4 = acc.reshape(nbc, 4, LANE_TILE)
+            accb = a4[:, 0] + a4[:, 1] + a4[:, 2] + a4[:, 3]  # [nbc, 128]
+            dx = aux_ref[b0 : b0 + nbc, 2 * b : 2 * b + 1]
+            corr = aux_ref[b0 : b0 + nbc, 2 * b + 1 : 2 * b + 2]
+            outs.append(
+                jnp.sum(
+                    (accb - corr) * (scales[b0 : b0 + nbc] * dx),
+                    axis=0, keepdims=True,
+                )
+            )
+        part = jnp.concatenate(outs, axis=0)  # [B, 128]
+        ys = part if ys is None else ys + part
+    return ys
 
 
 def _prep_inputs_multi_t(x2: jnp.ndarray, kh4: int, quantize_acts: bool):
@@ -791,6 +807,11 @@ def _q4_0_t_multi_call(xr, aux, qs4, scales_t, *, interpret=False):
             bytes_accessed=ot * lt * (kh4 + nb) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # the default 16 MB scoped-VMEM limit rejects large-in-dim tiles
+            # at compile time; the chunked core's working set is far smaller
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xr, aux, qs4, scales_t)
     return out.transpose(1, 0, 2).reshape(B, ot * lt)
 
@@ -837,6 +858,12 @@ def _q4_0_t_multi_call_stacked(layer_idx, xr, aux, qs4, scales_t, *,
             pltpu.SemaphoreType.DMA((NBUF_T,)),
             pltpu.SemaphoreType.DMA((NBUF_T,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the default 16 MB scoped-VMEM limit rejects the w2-shaped
+            # tiles (kh4=1792 at 13B) at compile time; the actual working
+            # set is chunked well below this
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4, scales_t)
     return out.transpose(1, 0, 2).reshape(B, ot * lt)
 
@@ -860,7 +887,7 @@ def q4_0_t_matmul_multi(
     kh4 = qs4.shape[-2]
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    assert 1 <= B <= MAX_MULTI_ROWS_T, B
+    assert 1 <= B <= 32, B  # kernel cap (MAX_MULTI_ROWS_T gates dispatch)
     x2 = _pad_x_to(
         x.reshape(B, x.shape[-1]).astype(jnp.float32), kh4 * PHASES
     )

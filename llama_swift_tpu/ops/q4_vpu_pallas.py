@@ -753,34 +753,43 @@ def _vpu_core_multi(xl, xr_ref, aux_ref, scales, B: int):
     pre-scaled by 16^-p); aux: f32 [2·B, NB] (rows 2b / 2b+1 = row b's d_x /
     8·Σq); scales: f32 [128, NB].  Returns y [128, B] f32.
 
-    The nibble isolation (AND + exact int→f32 convert) is hoisted out of the
-    per-row loop — the dequant cost amortizes over the batch, which is the
-    entire point vs running the matvec B times.
+    The nibble isolation (AND + exact int→f32 convert) is shared across the
+    B rows — the dequant cost amortizes over the batch, which is the entire
+    point vs running the matvec B times.  It runs per GROUP (the 4
+    group-major lane segments of the packed layout) rather than hoisting
+    all 8 whole-tile nibble planes: the hoisted form's live set is
+    8·kh4·128·4 B and blows the 16 MB scoped-VMEM stack at 13B shapes
+    (compile-time OOM, r5).
     """
     kh4 = xl.shape[1]
     nb = kh4 // 4
-    nibs = [
-        (xl & _MASKS[p]).astype(jnp.float32) for p in range(7)
-    ] + [jax.lax.shift_right_logical(xl, 28).astype(jnp.float32)]
-    cols = []
-    for b in range(B):
-        acc = nibs[0] * xr_ref[b * 8 : b * 8 + 1, :]
-        for p in range(1, PHASES):
-            acc = acc + nibs[p] * xr_ref[b * 8 + p : b * 8 + p + 1, :]
-        accb = (
-            acc[:, 0 * nb : 1 * nb]
-            + acc[:, 1 * nb : 2 * nb]
-            + acc[:, 2 * nb : 3 * nb]
-            + acc[:, 3 * nb : 4 * nb]
-        )  # [128, NB]
-        s_eff = scales * aux_ref[2 * b : 2 * b + 1, :]
-        cols.append(
-            jnp.sum(
-                (accb - aux_ref[2 * b + 1 : 2 * b + 2, :]) * s_eff,
+    seg = min(nb, 128)  # block segment: bounds live state at any B
+    ys = [None] * B
+    for s0 in range(0, nb, seg):
+        s1 = min(s0 + seg, nb)
+        accbs = [None] * B
+        for g in range(4):
+            xg = xl[:, g * nb + s0 : g * nb + s1]
+            nibs = [
+                (xg & _MASKS[p]).astype(jnp.float32) for p in range(7)
+            ] + [jax.lax.shift_right_logical(xg, 28).astype(jnp.float32)]
+            for b in range(B):
+                acc = nibs[0] * xr_ref[
+                    b * 8 : b * 8 + 1, g * nb + s0 : g * nb + s1
+                ]
+                for p in range(1, PHASES):
+                    acc = acc + nibs[p] * xr_ref[
+                        b * 8 + p : b * 8 + p + 1, g * nb + s0 : g * nb + s1
+                    ]
+                accbs[b] = acc if accbs[b] is None else accbs[b] + acc
+        for b in range(B):
+            s_eff = scales[:, s0:s1] * aux_ref[2 * b : 2 * b + 1, s0:s1]
+            part = jnp.sum(
+                (accbs[b] - aux_ref[2 * b + 1 : 2 * b + 2, s0:s1]) * s_eff,
                 axis=1, keepdims=True,
             )
-        )
-    return jnp.concatenate(cols, axis=1)  # [128, B]
+            ys[b] = part if ys[b] is None else ys[b] + part
+    return jnp.concatenate(ys, axis=1)  # [128, B]
 
 
 def _make_multi_kernel(B: int, stacked: bool):
@@ -893,6 +902,11 @@ def _q4_0_vpu_call_multi(xr, aux, qs4v, scales_v, *, interpret=False):
             bytes_accessed=ot * lt * (kh4 + nb) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # the default 16 MB scoped-VMEM limit rejects large-in-dim tiles
+            # at compile time; the chunked core's working set is far smaller
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xr, aux, qs4v, scales_v)
     return out.transpose(2, 0, 1).reshape(B, ot * lt)
 
@@ -934,6 +948,11 @@ def _q4_0_vpu_call_multi_stacked(layer_idx, xr, aux, qs4v, scales_v, *,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ot, lt, B), jnp.float32),
         scratch_shapes=_manual_scratch(lt, kh4, nb),
+        compiler_params=pltpu.CompilerParams(
+            # the default 16 MB scoped-VMEM limit rejects large-in-dim tiles
+            # at compile time; the chunked core's working set is far smaller
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(jnp.asarray([layer_idx], jnp.int32), xr, aux, qs4v, scales_v)
     return out.transpose(2, 0, 1).reshape(B, ot * lt)
 

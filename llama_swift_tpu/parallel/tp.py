@@ -202,9 +202,12 @@ def _local_forward(params, tokens, n_past, cache, cfg: ModelConfig, tp: int):
             from ..ops.attention import flash_decode_attention_stacked
 
             chunk = 128 if cfg.n_ctx % 128 == 0 else cfg.n_ctx
-            ctx = flash_decode_attention_stacked(
+            ctxf, ck, cv = flash_decode_attention_stacked(
                 q[0], c["k"], c["v"], il, n_past, chunk=chunk
-            )[None].astype(compute_dtype)
+            )
+            c = dict(c)
+            c["k"], c["v"] = ck, cv  # aliased pass-through, no copies
+            ctx = ctxf[None].astype(compute_dtype)
         else:
             ctx = model_lib._attention(
                 q, c["k"][il], c["v"][il], n_past, cfg.n_ctx, compute_dtype

@@ -149,6 +149,11 @@ class StreamHandle:
         self._q: queue.Queue = queue.Queue()
         self.error: Optional[BaseException] = None
         self.token_ids: list[int] = []
+        self.t_submit: float = time.perf_counter()
+        #: wall seconds from submit to the FIRST sampled token (admission
+        #: queueing + chunked prefill under load — the engine-level TTFT
+        #: the reference never measured)
+        self.ttft_s: Optional[float] = None
 
     def _put(self, s: str):
         self._q.put(s)
@@ -339,6 +344,8 @@ class Engine:
                 return  # more chunks to go; decode continues meanwhile
             # prompt fully prefilled: sample the first token, go active
             first = slot.sampler.sample(np.asarray(logits[clen - 1]))
+            slot.handle.ttft_s = time.perf_counter() - slot.handle.t_submit
+            self.stats.setdefault("ttft_s", []).append(slot.handle.ttft_s)
             slot.ring_dirty = True
             n_predict = min(slot.sampling.n_predict, self.cfg.n_ctx - length)
             slot.active = True

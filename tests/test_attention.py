@@ -1,6 +1,7 @@
 """Flash-decode attention kernel tests (interpret mode) vs the unfused
 reference — the reference's ggml_flash_attn done right and actually used."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -74,7 +75,7 @@ def test_flash_stacked_matches_reference(qkv, n_past):
         for _ in range(L - 1)
     ])
     for il in range(L):
-        out = flash_decode_attention_stacked(
+        out, _, _ = flash_decode_attention_stacked(
             q, ks, vs, jnp.int32(il), jnp.int32(n_past), chunk=128,
             interpret=True,
         )
@@ -92,7 +93,7 @@ def test_flash_stacked_ignores_stale_slots(qkv):
     q, k, v = qkv
     k2 = jnp.stack([k.at[:, 128:, :].set(jnp.nan)])
     v2 = jnp.stack([v.at[:, 128:, :].set(jnp.nan)])
-    out = flash_decode_attention_stacked(
+    out, _, _ = flash_decode_attention_stacked(
         q, k2, v2, jnp.int32(0), jnp.int32(100), chunk=128, interpret=True
     )
     ref = reference_decode_attention(q, k, v, 100)
@@ -141,7 +142,7 @@ def test_flash_stacked_int8_matches_reference(qkv, n_past):
 
     kq, ks = quant(k)
     vq, vs = quant(v)
-    out = flash_decode_attention_stacked_int8(
+    out, _, _ = flash_decode_attention_stacked_int8(
         q, jnp.asarray(kq)[None], jnp.asarray(vq)[None],
         jnp.asarray(ks)[None], jnp.asarray(vs)[None],
         jnp.int32(0), jnp.int32(n_past), chunk=128, interpret=True,
@@ -178,3 +179,45 @@ def test_model_decode_int8_cache_flash_matches_xla(tiny_cfg, tiny_tensors):
         )
         outs[name] = np.asarray(logits)
     np.testing.assert_allclose(outs["flash"], outs["xla"], rtol=2e-4, atol=2e-4)
+
+
+def test_flash_prefill_xla_matches_dense():
+    """Chunked online-softmax prefill attention (long-ctx path) == the
+    dense-score formulation, for prompt offsets landing mid-chunk."""
+    import numpy as np
+
+    from llama_swift_tpu.models.llama import _attention, _attention_flash_xla
+
+    rng = np.random.default_rng(17)
+    H, CTX, DH, N = 4, 2048, 64, 24
+    keys = jnp.asarray((rng.standard_normal((H, CTX, DH)) * 0.5).astype(np.float32))
+    vals = jnp.asarray((rng.standard_normal((H, CTX, DH)) * 0.5).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((N, H, DH)).astype(np.float32))
+    del _attention  # (the dense branch is the reference, inlined below)
+    for n_past in (0, 37, 900):
+        flash = _attention_flash_xla(
+            q, keys, vals, jnp.int32(n_past), CTX, jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(flash),
+            np.asarray(_dense_full(q, keys, vals, n_past)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def _dense_full(q, keys, vals, n_past):
+    import numpy as np
+
+    s = jnp.einsum(
+        "nhd,hjd->hnj", q.astype(jnp.float32), keys.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ) / np.sqrt(float(q.shape[-1]))
+    N, CTX = q.shape[0], keys.shape[1]
+    i = jnp.arange(N)[:, None]
+    j = jnp.arange(CTX)[None, :]
+    s = jnp.where((j <= n_past + i)[None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "hnj,hjd->nhd", p, vals.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -164,7 +164,7 @@ def test_flash_batched(rng, dtype):
     kd = jnp.asarray(keys).astype(dtype)
     vd = jnp.asarray(vals).astype(dtype)
     for il in range(L):
-        got = flash_decode_attention_batched(
+        got, _, _ = flash_decode_attention_batched(
             jnp.asarray(q), kd, vd, jnp.int32(il), n_pasts, interpret=True
         )
         ref = _dense_batched_reference(
@@ -184,7 +184,7 @@ def test_flash_batched_int8(rng):
     vs = (0.01 + 0.05 * rng.random((L, B, H, CTX, 1))).astype(np.float32)
     q = rng.standard_normal((B, H, DH)).astype(np.float32)
     n_pasts = jnp.asarray([3, 128, 200], jnp.int32)
-    got = flash_decode_attention_batched_int8(
+    got, _, _ = flash_decode_attention_batched_int8(
         jnp.asarray(q), jnp.asarray(k8), jnp.asarray(v8),
         jnp.asarray(ks), jnp.asarray(vs), jnp.int32(1), n_pasts,
         interpret=True,

@@ -69,7 +69,7 @@ def test_flash_paged_matches_dense(rng):
     q = rng.standard_normal((B, H, DH)).astype(np.float32)
     n_pasts = jnp.asarray([0, 130, 255], jnp.int32)
     for il in range(L):
-        got = flash_decode_attention_paged(
+        got, _, _ = flash_decode_attention_paged(
             jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
             jnp.asarray(table), jnp.int32(il), n_pasts, interpret=True,
         )
@@ -104,7 +104,7 @@ def test_flash_paged_int8_matches_dense(rng):
             vsp[table[b, c]] = vs[:, b, :, sl, :]
     q = rng.standard_normal((B, H, DH)).astype(np.float32)
     n_pasts = jnp.asarray([7, 200], jnp.int32)
-    got = flash_decode_attention_paged_int8(
+    got, _, _ = flash_decode_attention_paged_int8(
         jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
         jnp.asarray(ksp), jnp.asarray(vsp), jnp.asarray(table),
         jnp.int32(0), n_pasts, interpret=True,
@@ -218,8 +218,7 @@ def test_engine_paged_pool_exhaustion_fails_cleanly(engine_setup):
     h = eng.submit("the rain in spain", SamplingConfig(n_predict=40))
     with eng:
         try:
-            out = list(h)
-            emitted = len(out)
+            list(h)
             failed = False
         except Exception:
             failed = True
