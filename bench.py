@@ -561,6 +561,18 @@ def main():
             toks = slots * 48
             emit(f"engine_tok_per_s_{args.size}_q4_0_slots{slots}_paged",
                  toks / dt, "tok/s", (toks / dt) / (slots * sol))
+            # admission-under-load: submit-to-first-token while 8 streams
+            # compete (chunked prefill interleaves with decode).  Same
+            # denominator convention as the TTFT metrics: the MXU-FLOP
+            # bound of the prompt's prefill (here ~8 tokens)
+            ttfts = sorted(eng.stats.get("ttft_s", [])[1:])
+            if ttfts:
+                p50 = ttfts[len(ttfts) // 2]
+                bound = 2.0 * model_param_count(cfg) * 8 / (
+                    V5E_BF16_TFLOPS * 1e12
+                )
+                emit(f"engine_ttft_under_load_p50_s_{args.size}_slots{slots}",
+                     p50, "s", bound / max(p50, 1e-9))
             del eng
         finally:
             del params_v

@@ -15,11 +15,12 @@ bf16-MXU default-precision drift this harness caught).
 Families stamped (each an explicit ``q4_layout`` — r4's ADVICE found that
 layout auto-selection silently aliased two "independent" paths):
 
-  fused_w        decode via the fused-layer W kernels (serving default)
+  fused_w        decode via the whole-stack megakernel (serving default)
   v_matvec       decode via the V-layout VPU matvec + flash-decode kernel
   int8_kv_flash  decode with the int8 KV cache flash kernel
   batched_t      forward_batched over the stacked T-layout kernels (B=4)
   batched_v      forward_batched over the multi-row V-stream kernel (B=4)
+  paged          forward_batched over the PAGED pool + page-table flash
   prefill_w      64-token prefill via q4_dense_matmul_pm (λ-permuted W)
   prefill_v      64-token prefill via q4_dense_matmul_pm (V layout)
 
@@ -116,6 +117,25 @@ def run(steps: int = 3) -> dict:
     errs["v_matvec"] = rel(decode(base, params_v), ref_decode)
     errs["prefill_v"] = rel(do_prefill(base, params_v), ref_prefill)
     errs["batched_v"] = rel(decode_batched(base, params_v), ref_batched)
+
+    # paged family: same params, cache routed through the page pool +
+    # page-table flash kernels (incl. the aliased pass-through carry)
+    def decode_batched_paged(cfg, params, B=4):
+        mp = -(-cfg.n_ctx // 128)
+        cache = model_lib.init_cache_paged(cfg, B * mp + 1, B)
+        table = np.arange(B * mp, dtype=np.int32).reshape(B, mp)
+        cache["page_table"] = jnp.asarray(table)
+        toks = jnp.asarray([1, 2, 3, 5], jnp.int32)
+        outs = []
+        for i in range(steps):
+            logits, cache = fwd_b(
+                params, toks, jnp.full((B,), i, jnp.int32), cache, cfg
+            )
+            outs.append(np.asarray(logits))
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return np.stack(outs)
+
+    errs["paged"] = rel(decode_batched_paged(base, params_v), ref_batched)
     del params_v
     # int8 family: flash-int8 kernel vs the XLA int8 attention with the SAME
     # params/matmul path — the int8 quantizer amplifies unrelated 1e-7

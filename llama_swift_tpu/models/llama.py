@@ -729,31 +729,50 @@ def forward(
 
     def cache_write_paged(c: dict, name: str, val, il):
         """Slot-path PAGED write: val [N, H, Dh] lands at positions
-        n_past..n_past+N-1 of slot ``slot`` via its page-table row — one
-        batched scatter into the page pool (init_cache_paged)."""
+        n_past..n_past+N-1 of slot ``slot`` via its page-table row.
+
+        When N divides the page size, a prefill chunk starting at an
+        N-aligned n_past (the engine's chunked admission always is) lies
+        entirely within ONE page → one in-place dynamic_update_slice.
+        Otherwise N per-position DUS ops.  NEVER an advanced-index scatter:
+        XLA materializes pool-sized copies for it (~pool bytes per layer
+        per chunk — measured as a 12x engine-admission slowdown, r5)."""
         pool = c[name + "_pool"]
         page = pool.shape[3]
-        positions = n_past + jnp.arange(N, dtype=jnp.int32)
-        pids = jnp.clip(
-            c["page_table"][slot, positions // page], 0, pool.shape[0] - 1
-        )
-        offs = positions % page
         c = dict(c)
+
+        def write(buf, vals, vt):  # vals [N, H, X] -> transpose to [H, N, X]
+            if page % N == 0:
+                pid = jnp.clip(
+                    c["page_table"][slot, n_past // page], 0, pool.shape[0] - 1
+                )
+                return jax.lax.dynamic_update_slice(
+                    buf, vt[None, None].astype(buf.dtype),
+                    (pid, il, 0, n_past % page, 0),
+                )
+            for i in range(N):
+                pos = n_past + i
+                pid = jnp.clip(
+                    c["page_table"][slot, pos // page], 0, pool.shape[0] - 1
+                )
+                buf = jax.lax.dynamic_update_slice(
+                    buf,
+                    vals[i][None, None, :, None, :].astype(buf.dtype),
+                    (pid, il, 0, pos % page, 0),
+                )
+            return buf
+
         if name + "_scale_pool" in c:
             amax = jnp.max(jnp.abs(val), axis=-1, keepdims=True)  # [N, H, 1]
             scale = amax / 127.0
             inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
             qv = jnp.clip(jnp.round(val * inv), -127, 127)
-            c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
-                qv.astype(pool.dtype)
+            c[name + "_pool"] = write(pool, qv, qv.transpose(1, 0, 2))
+            c[name + "_scale_pool"] = write(
+                c[name + "_scale_pool"], scale, scale.transpose(1, 0, 2)
             )
-            c[name + "_scale_pool"] = c[name + "_scale_pool"].at[
-                pids, il, :, offs, :
-            ].set(scale.astype(jnp.float32))
             return c
-        c[name + "_pool"] = pool.at[pids, il, :, offs, :].set(
-            val.astype(pool.dtype)
-        )
+        c[name + "_pool"] = write(pool, val, val.transpose(1, 0, 2))
         return c
 
     def cache_read_paged(c: dict, name: str, il):

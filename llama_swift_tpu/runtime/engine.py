@@ -89,6 +89,28 @@ def batched_decode_sampled(
     return toks, cache, rings, ring_pos, key
 
 
+# Host-side state updates use TRACED indices through these tiny jitted
+# helpers: a bare ``arr.at[i].set(...)`` with a python-int index bakes the
+# index into the program, so every distinct slot/page index compiles a NEW
+# XLA executable — ~1 s each through the tunneled backend, measured as
+# 11-second admission stalls in the serving engine (r5).
+
+
+@jax.jit
+def _set_cell(arr, i, j, val):
+    return arr.at[i, j].set(val)
+
+
+@jax.jit
+def _set_row(arr, i, row):
+    return jax.lax.dynamic_update_slice(arr, row[None], (i, jnp.int32(0)))
+
+
+@jax.jit
+def _set_elem(arr, i, val):
+    return arr.at[i].set(val)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
 )
@@ -275,9 +297,12 @@ class Engine:
         new = [self._free_pages.pop() for _ in range(n)]
         lo = len(slot.pages)
         slot.pages.extend(new)
-        self.cache["page_table"] = self.cache["page_table"].at[
-            idx, lo : lo + len(new)
-        ].set(jnp.asarray(new, jnp.int32))
+        table = self.cache["page_table"]
+        for k, pid in enumerate(new):
+            table = _set_cell(
+                table, jnp.int32(idx), jnp.int32(lo + k), jnp.int32(pid)
+            )
+        self.cache["page_table"] = table
         return True
 
     def _free_slot_pages(self, idx: int, slot: _Slot) -> None:
@@ -289,7 +314,11 @@ class Engine:
         # still stepped (all B lanes) and their writes must not land on a
         # page that gets reallocated
         scratch = self.cache["k_pool"].shape[0] - 1
-        self.cache["page_table"] = self.cache["page_table"].at[idx].set(scratch)
+        mp = self.cache["page_table"].shape[1]
+        self.cache["page_table"] = _set_row(
+            self.cache["page_table"], jnp.int32(idx),
+            jnp.full((mp,), scratch, jnp.int32),
+        )
 
     def _admit(self) -> None:
         """Assign pending requests to free slots (cheap bookkeeping only —
@@ -438,10 +467,13 @@ class Engine:
                 slot = self.slots[i]
                 if slot.ring_dirty:
                     buf = [0] * self.ring_size + list(slot.sampler.ring)
-                    self.rings = self.rings.at[i].set(
-                        jnp.asarray(buf[-self.ring_size :], jnp.int32)
+                    self.rings = _set_row(
+                        self.rings, jnp.int32(i),
+                        jnp.asarray(buf[-self.ring_size :], jnp.int32),
                     )
-                    self.ring_pos = self.ring_pos.at[i].set(0)
+                    self.ring_pos = _set_elem(
+                        self.ring_pos, jnp.int32(i), jnp.int32(0)
+                    )
                     slot.ring_dirty = False
             temps = np.ones(self.max_slots, np.float32)
             top_ps = np.ones(self.max_slots, np.float32)
