@@ -387,7 +387,10 @@ def served_bench(cfg, params, weight_bytes, args, chunk=32):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="7b", choices=["tiny", "tiny128", "1b", "7b", "13b"])
-    ap.add_argument("--steps", type=int, default=16)
+    # 32: the marginal-timing window (time(2N)-time(N)) must dominate the
+    # tunneled backend's ~10-20 ms dispatch jitter; 16 steps (~0.1 s delta)
+    # measured with ~±6% run-to-run spread at 7B
+    ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--batch", type=int, default=1,
                     help=">1: batched greedy decode (continuous-batching "

@@ -1,19 +1,24 @@
-"""Fused transformer-layer kernels: TWO pallas calls per decode layer.
+"""Fused transformer kernels for batch-1 decode, in two generations:
 
-Why: the r3 decode trace showed ~1.1 ms/step of XLA glue (norms, activation
-quantization, phase-major preps, rope, output extraction) BETWEEN the Q4
-matvec kernels, plus a drained DMA pipe at every kernel boundary — against a
-5.5 ms weight-stream floor.  Here each layer is two kernels,
+* ``fused_layers_block`` — the r5 WHOLE-STACK megakernel and serving
+  default: ONE pallas call runs ALL L layers.  A single weight-DMA ring is
+  routed across every matmul of every layer via static phase-successor
+  chains (wqkv → wo → w13 → w2 → next layer's wqkv), so the HBM weight
+  stream never stops — not at the attn/FFN boundary, not at layer
+  boundaries.  KV history chunks for layer il start streaming at il's
+  FIRST wqkv tile and are consumed by the in-kernel flash attention one
+  weight-phase later.  All glue (norm, activation quant/prep, rope,
+  online-softmax attention, SwiGLU, residuals) runs between DMA waits;
+  the per-layer K/V of the new token come back as outputs for one
+  all-layers cache write in XLA.
 
-  ``fused_attn_block``: norm → quant/prep → wqkv matvec stream → rope →
-      KV-cache write (aliased, in place) → flash attention (O(n_past)
-      chunks) → prep → wo matvec stream → +residual
-  ``fused_ffn_block``:  norm → quant/prep → w13 matvec stream → SwiGLU →
-      prep → w2 matvec stream → +residual
+* ``fused_attn_block`` / ``fused_ffn_block`` — the r4 two-kernels-per-
+  layer design (kept for tests and as a reference point): same dataflow,
+  but the DMA pipe drained 2L times per token at kernel boundaries
+  (151.2 → 157-167 tok/s at 7B from the merge).
 
-with ONE weight-DMA ring running the whole kernel: the second matmul's
-tiles start streaming while the glue between them computes, so the HBM pipe
-never drains inside a layer.  All glue runs on the VPU between DMA waits.
+Why fused at all: the r3 decode trace showed ~1.1 ms/step of XLA glue
+between per-matmul kernels against a 5.5 ms weight-stream floor.
 
 **W layout** (`Q4_0TensorW`): contraction on SUBLANES, out rows on LANES —
 ``qs4w`` i32 [out/128, in/8, 128], ``scales_w`` f32 [out/128, in/32, 128].
