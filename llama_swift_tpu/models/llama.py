@@ -969,10 +969,15 @@ def forward(
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
+                elif isinstance(v, Q4_0TensorW):
+                    # prefill reads the stacked W weights in place (slicing
+                    # copies the whole layer's packed bytes)
+                    from ..ops.q4_fused_layer import StackedQ4WRef
+
+                    layer[k] = StackedQ4WRef(v, il)
                 else:
-                    # arrays index directly; quantized containers (W layout
-                    # prefill fallback, "none"-layout logical blocks) slice
-                    # leaf-wise
+                    # arrays index directly; "none"-layout logical-block
+                    # containers slice leaf-wise
                     layer[k] = jax.tree_util.tree_map(lambda a: a[il], v)
             return layer
 
@@ -1269,6 +1274,7 @@ def forward_batched(
         return x, cl
 
     if "layers_stacked" in params:
+        from ..ops.q4_fused_layer import Q4_0TensorW
         from ..ops.q4_matmul_pallas import Q4_0TensorT, StackedQ4Ref
         from ..ops.q4_vpu_pallas import Q4_0TensorV, Q4_1TensorV, StackedQ4VRef
 
@@ -1287,10 +1293,13 @@ def forward_batched(
                         else StackedQ4Ref
                     )
                     layer[k] = ref(v, il)
+                elif isinstance(v, Q4_0TensorW):
+                    from ..ops.q4_fused_layer import StackedQ4WRef
+
+                    layer[k] = StackedQ4WRef(v, il)
                 else:
-                    # arrays index directly; quantized containers (W stacks
-                    # — no batched kernel, linear() dense-dequants — and
-                    # "none"-layout logical blocks) slice leaf-wise
+                    # arrays index directly; "none"-layout logical-block
+                    # containers slice leaf-wise
                     layer[k] = jax.tree_util.tree_map(lambda a: a[il], v)
             return layer
 

@@ -106,6 +106,51 @@ def q4v_dequant_pm(qs4v, sc_or_sm, *, is_q41=False, dtype=jnp.bfloat16,
     return dense.reshape(ot * LANES, PHASES * kh4)
 
 
+def _dequant_kernel_q4_0_stacked(il_ref, qs_ref, sc_ref, out_ref, *, dtype):
+    del il_ref  # consumed by the BlockSpec index maps
+    _dequant_kernel_q4_0(qs_ref[0], sc_ref[0], out_ref, dtype=dtype)
+
+
+def _dequant_kernel_q4_1_stacked(il_ref, qs_ref, sc_ref, out_ref, *, dtype):
+    del il_ref
+    _dequant_kernel_q4_1(qs_ref[0], sc_ref[0], out_ref, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("is_q41", "dtype", "interpret"))
+def q4v_dequant_pm_stacked(layer_idx, qs4v, sc_or_sm, *, is_q41=False,
+                           dtype=jnp.bfloat16, interpret=False):
+    """Stacked-layer variant: weights stay as whole [L, ...] HBM buffers and
+    the layer is chosen by the scalar-prefetch index map.  The prefill path
+    used to ``at_layer()``-slice the layer out of the stack first — a
+    dynamic-slice COPY of every packed weight byte before dequantizing it
+    (~3.4 GB per 7B prefill, the dominant cost in the r5 prefill profile).
+    """
+    L, ot, lt, kh4 = qs4v.shape
+    assert lt == LANES, qs4v.shape
+    kernel = (
+        _dequant_kernel_q4_1_stacked if is_q41 else _dequant_kernel_q4_0_stacked
+    )
+    nbl = sc_or_sm.shape[3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ot,),
+        in_specs=[
+            pl.BlockSpec((1, 1, LANES, kh4), lambda o, s: (s[0], o, 0, 0)),
+            pl.BlockSpec((1, 1, LANES, nbl), lambda o, s: (s[0], o, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, LANES, PHASES * kh4), lambda o, s: (o, 0, 0)
+        ),
+    )
+    dense = pl.pallas_call(
+        functools.partial(kernel, dtype=dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ot, LANES, PHASES * kh4), dtype),
+        interpret=interpret,
+    )(jnp.asarray([layer_idx], jnp.int32), qs4v, sc_or_sm)
+    return dense.reshape(ot * LANES, PHASES * kh4)
+
+
 def phase_major_x(x2, *, block_perm: np.ndarray | None = None) -> jnp.ndarray:
     """[N, in] activations → [N, in] in the kernel's phase-major packed
     order (plus the W layout's λ block permutation when given)."""
@@ -120,13 +165,21 @@ def phase_major_x(x2, *, block_perm: np.ndarray | None = None) -> jnp.ndarray:
 
 def q4_dense_matmul_pm(x2, qs4v, sc_or_sm, *, is_q41=False,
                        w_block_perm: np.ndarray | None = None,
-                       mm_dtype=jnp.bfloat16, interpret=False) -> jnp.ndarray:
+                       mm_dtype=jnp.bfloat16, interpret=False,
+                       layer_idx=None) -> jnp.ndarray:
     """y[N, out] = x2 @ W.T via the phase-major dequant kernel + one XLA
     matmul.  ``x2`` must already be padded to the packed in-dim (and
-    activation-fake-quantized by the caller, matching the jnp path)."""
-    wd = q4v_dequant_pm(
-        qs4v, sc_or_sm, is_q41=is_q41, dtype=mm_dtype, interpret=interpret
-    )
+    activation-fake-quantized by the caller, matching the jnp path).
+    ``layer_idx``: qs4v/sc carry a leading [L] axis read in place."""
+    if layer_idx is not None:
+        wd = q4v_dequant_pm_stacked(
+            layer_idx, qs4v, sc_or_sm, is_q41=is_q41, dtype=mm_dtype,
+            interpret=interpret,
+        )
+    else:
+        wd = q4v_dequant_pm(
+            qs4v, sc_or_sm, is_q41=is_q41, dtype=mm_dtype, interpret=interpret
+        )
     x_pm = phase_major_x(x2, block_perm=w_block_perm).astype(mm_dtype)
     # HIGHEST: with f32 operands (mm_dtype=f32, e.g. batched decode) the
     # default lowers to single-pass bf16 on the MXU — 2e-1 logit drift vs

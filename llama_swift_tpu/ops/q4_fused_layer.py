@@ -129,6 +129,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@dataclasses.dataclass
+class StackedQ4WRef:
+    """Stacked W-layout weights + traced layer index: lets the prefill
+    matmul dequantize straight out of the [L, ...] HBM stack instead of
+    dynamic-slicing the layer's packed bytes first (a full-weight copy)."""
+
+    w: "Q4_0TensorW"  # leaves carry a leading [L] axis
+    layer_idx: object
+
+
 def dequantize_q4_0w_jnp(w: Q4_0TensorW, dtype=jnp.float32) -> jnp.ndarray:
     """Dense [out, in] from the fused layout (prefill / fallback path)."""
     from .q4_vpu_pallas import Q4_0TensorV, dequantize_q4_0v_jnp

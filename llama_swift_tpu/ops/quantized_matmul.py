@@ -199,6 +199,30 @@ def linear(
                 quantize_acts=quantize_activations,
                 compute_dtype=compute_dtype, interpret=interp,
             )
+        if use_pallas:
+            # prefill rows: STACKED dequant kernel — ``at_layer()`` would
+            # dynamic-slice the layer's packed bytes out of the [L, ...]
+            # stack first, copying every weight byte before dequantizing it
+            # (~3.4 GB per 7B prefill; dominant in the r5 prefill profile)
+            is41 = isinstance(w.w, Q4_1TensorV)
+            if quantize_activations:
+                x = fake_quantize_q4_1(x) if is41 else fake_quantize_q4_0(x)
+            from .q4_dequant_pallas import q4_dense_matmul_pm
+            from .q4_vpu_pallas import _pad_x
+
+            lead = x.shape[:-1]
+            nr = int(np.prod(lead)) if lead else 1
+            out_dim = w.w.qs4v.shape[1] * 128
+            x2 = _pad_x(
+                x.reshape(nr, x.shape[-1]).astype(jnp.float32),
+                w.w.qs4v.shape[3] * 8,
+            )
+            y = q4_dense_matmul_pm(
+                x2, w.w.qs4v, w.w.sm_v if is41 else w.w.scales_v,
+                is_q41=is41, mm_dtype=mm_dtype, interpret=interp,
+                layer_idx=w.layer_idx,
+            )
+            return y.reshape(*lead, out_dim).astype(compute_dtype)
         return linear(
             x, w.at_layer(), quantize_activations=quantize_activations,
             compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
@@ -332,7 +356,40 @@ def linear(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(compute_dtype)
-    from .q4_fused_layer import Q4_0TensorW, dequantize_q4_0w_jnp
+    from .q4_fused_layer import (
+        Q4_0TensorW,
+        StackedQ4WRef,
+        block_perm,
+        dequantize_q4_0w_jnp,
+    )
+
+    if isinstance(w, StackedQ4WRef):
+        use_pallas, interp = _kernel_mode(prefer_pallas)
+        if use_pallas:
+            # prefill over the stacked W (megakernel) params: dequantize in
+            # place out of the [L, ...] stack (see the StackedQ4VRef note)
+            if quantize_activations:
+                x = fake_quantize_q4_0(x)
+            from .q4_dequant_pallas import q4_dense_matmul_pm
+            from .q4_vpu_pallas import _pad_x
+
+            lead = x.shape[:-1]
+            nr = int(np.prod(lead)) if lead else 1
+            in_dim = w.w.qs4w.shape[3] * 8
+            out_dim = w.w.qs4w.shape[1] * 128
+            x2 = _pad_x(x.reshape(nr, x.shape[-1]).astype(jnp.float32), in_dim)
+            y = q4_dense_matmul_pm(
+                x2, w.w.qs4w, w.w.scales_w,
+                w_block_perm=block_perm(in_dim // 32),
+                mm_dtype=mm_dtype, interpret=interp, layer_idx=w.layer_idx,
+            )
+            return y.reshape(*lead, out_dim).astype(compute_dtype)
+        return linear(
+            x, jax.tree_util.tree_map(lambda a: a[w.layer_idx], w.w),
+            quantize_activations=quantize_activations,
+            compute_dtype=compute_dtype, prefer_pallas=prefer_pallas,
+            dense_matmul_dtype=dense_matmul_dtype,
+        )
 
     if isinstance(w, Q4_0TensorW):
         # W layout serves batch-1 decode through the fused-layer kernels
